@@ -1,0 +1,100 @@
+// apmio — native corpus I/O for the TPU approximate-pattern-matching runtime.
+//
+// TPU-native replacement for the reference's host-side I/O layer
+// (read_input_file, src/utils.c:12-68): an mmap-backed whole-file loader plus
+// a halo-aware shard slicer used when feeding per-host overlapping corpus
+// shards on multi-host meshes. Exposed to Python via ctypes (apm/utils/native.py).
+//
+// Unlike the reference (open/lseek/read into malloc), we mmap readonly and
+// memcpy into a caller-provided buffer so Python owns the memory (numpy array)
+// and no allocation crosses the FFI boundary.
+
+#include <cerrno>
+#include <cstdint>
+#include <cstring>
+
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+
+extern "C" {
+
+// Returns the file size in bytes, or -1 on error.
+int64_t apmio_file_size(const char* path) {
+    struct stat st;
+    if (stat(path, &st) != 0) return -1;
+    return static_cast<int64_t>(st.st_size);
+}
+
+// Reads the whole file (raw bytes, newlines included) into `out`, which must
+// hold at least `size` bytes (from apmio_file_size). Returns bytes read or -1.
+int64_t apmio_read_file(const char* path, uint8_t* out, int64_t size) {
+    int fd = open(path, O_RDONLY);
+    if (fd < 0) return -1;
+    struct stat st;
+    if (fstat(fd, &st) != 0 || st.st_size < size) {
+        close(fd);
+        return -1;
+    }
+    if (size == 0) {
+        close(fd);
+        return 0;
+    }
+    void* p = mmap(nullptr, static_cast<size_t>(size), PROT_READ, MAP_PRIVATE, fd, 0);
+    if (p == MAP_FAILED) {
+        // Fallback: plain read loop (e.g. for special files).
+        int64_t total = 0;
+        while (total < size) {
+            ssize_t r = read(fd, out + total, static_cast<size_t>(size - total));
+            if (r <= 0) {
+                close(fd);
+                return -1;
+            }
+            total += r;
+        }
+        close(fd);
+        return total;
+    }
+    memcpy(out, p, static_cast<size_t>(size));
+    munmap(p, static_cast<size_t>(size));
+    close(fd);
+    return size;
+}
+
+// Reads the byte range [start, start+len) of the file into `out`, zero-filling
+// any part past EOF. This is the multi-host shard feeder: each host slices its
+// own overlapping (halo-extended) byte range without ever gathering the whole
+// corpus (SURVEY.md §7 "Multi-host input feeding"). Returns 0 on success.
+int32_t apmio_read_range(const char* path, int64_t start, int64_t len, uint8_t* out) {
+    if (start < 0 || len < 0) return -1;
+    int fd = open(path, O_RDONLY);
+    if (fd < 0) return -1;
+    struct stat st;
+    if (fstat(fd, &st) != 0) {
+        close(fd);
+        return -1;
+    }
+    const int64_t fsize = static_cast<int64_t>(st.st_size);
+    int64_t avail = 0;
+    if (start < fsize) avail = (start + len <= fsize) ? len : (fsize - start);
+    if (avail > 0) {
+        // Map page-aligned around the range.
+        const int64_t page = static_cast<int64_t>(sysconf(_SC_PAGESIZE));
+        const int64_t map_start = (start / page) * page;
+        const int64_t map_len = (start - map_start) + avail;
+        void* p = mmap(nullptr, static_cast<size_t>(map_len), PROT_READ, MAP_PRIVATE, fd,
+                       static_cast<off_t>(map_start));
+        if (p == MAP_FAILED) {
+            close(fd);
+            return -1;
+        }
+        memcpy(out, static_cast<uint8_t*>(p) + (start - map_start), static_cast<size_t>(avail));
+        munmap(p, static_cast<size_t>(map_len));
+    }
+    if (avail < len) memset(out + avail, 0, static_cast<size_t>(len - avail));
+    close(fd);
+    return 0;
+}
+
+}  // extern "C"
