@@ -77,9 +77,11 @@ class Scanner:
                 jax.numpy.asarray(self._pat),
                 jax.numpy.asarray(self._plen),
                 jax.numpy.asarray(n, dtype=np.int32),
+                jax.numpy.asarray(0, dtype=np.int32),
                 k=self.k,
                 m_max=self.m_max,
                 w=w,
+                halo=halo,
                 interpret=self.config.interpret,
             )
         else:
@@ -116,7 +118,11 @@ class Scanner:
         if self.config.max_devices is not None:
             n_dev = min(n_dev, self.config.max_devices)
         if strategy == "auto":
-            strategy = "single" if n_dev == 1 else "database_over_devices"
+            from ..parallel.plan import choose_strategy
+
+            strategy = choose_strategy(
+                n, self.m_max, self.patterns.num_patterns, self.k, n_dev
+            )
 
         if strategy == "single" or n_dev == 1:
             counts = self._count_single(buf)

@@ -90,6 +90,7 @@ def scan_corpus_xla(
     pat: jax.Array,  # (P, m_max + 2k) uint8
     plen: jax.Array,  # (P,) int32
     n: jax.Array,  # () int32 true corpus length
+    start: jax.Array = 0,  # () int32 global window index of corpus[0]
     *,
     k: int,
     m_max: int,
@@ -100,9 +101,10 @@ def scan_corpus_xla(
     assert n_pad % v == 0, "corpus must be padded to a multiple of the chunk width"
     num_chunks = n_pad // v
     p = pat.shape[0]
+    start = jnp.asarray(start, jnp.int32)
 
     def body(i, acc):
         blk = jax.lax.dynamic_slice(corpus, (i * v,), (v + m_max,))
-        return acc + scan_block_xla(blk, pat, plen, (i * v).astype(jnp.int32), n, k=k, m_max=m_max)
+        return acc + scan_block_xla(blk, pat, plen, start + (i * v).astype(jnp.int32), n, k=k, m_max=m_max)
 
     return jax.lax.fori_loop(0, num_chunks, body, jnp.zeros((p,), jnp.int32))

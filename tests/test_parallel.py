@@ -1,0 +1,120 @@
+"""Multi-device distribution tests on the 8-way virtual CPU mesh.
+
+The moral equivalent of the reference's ``scripts/run_tests`` self-consistency
+harness (single-config vs multi-config diff) — but run as real multi-device
+programs via ``--xla_force_host_platform_device_count=8``, something the
+reference could only do on the physical cluster.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from apm.models.scanner import Scanner
+from apm.parallel.plan import Plan, choose_strategy, get_ratio
+from apm.utils.config import ApmConfig
+from apm.utils.oracle import count_matches
+from tests.conftest import random_dna
+
+
+@pytest.fixture(scope="module", autouse=True)
+def need_8_devices():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+
+
+def mk_scanner(pats, k, strategy, n_dev=8):
+    cfg = ApmConfig(
+        backend="xla", strategy=strategy, block_windows=128, max_devices=n_dev
+    )
+    return Scanner(pats, k, cfg)
+
+
+@pytest.mark.parametrize("k", [0, 2])
+def test_database_over_devices_vs_oracle(k):
+    corpus = random_dna(5000, seed=k)
+    pats = [random_dna(m, seed=50 + m) for m in [5, 18, 50]]
+    got = mk_scanner(pats, k, "database_over_devices").count(corpus)
+    assert got.tolist() == count_matches(corpus, pats, k)
+
+
+@pytest.mark.parametrize("k", [0, 2])
+def test_patterns_over_devices_vs_oracle(k):
+    corpus = random_dna(3000, seed=10 + k)
+    pats = [random_dna(m, seed=60 + m) for m in [5, 18, 50, 7]]
+    got = mk_scanner(pats, k, "patterns_over_devices").count(corpus)
+    assert got.tolist() == count_matches(corpus, pats, k)
+
+
+def test_strategies_agree_with_single():
+    """run_tests analog: all strategies produce identical counts."""
+    corpus = random_dna(4000, seed=77)
+    pats = [random_dna(m, seed=80 + m) for m in [10, 33]]
+    k = 1
+    want = mk_scanner(pats, k, "single", n_dev=1).count(corpus).tolist()
+    for strategy in ["database_over_devices", "patterns_over_devices"]:
+        got = mk_scanner(pats, k, strategy).count(corpus).tolist()
+        assert got == want, strategy
+
+
+def test_boundary_straddling_matches():
+    """Adversarial: a match placed across every shard boundary (the case the
+    reference double-counts, Report §4.3 / SURVEY §3.4)."""
+    needle = b"GATTACAGATTACA"
+    k = 1
+    n = 4096
+    corpus = random_dna(n, seed=5, alphabet=b"X").copy()  # all 'X': no noise hits
+    s = 512  # db_over_devices shard width for w=128, 8 devices: s = 512
+    pat_arr = np.frombuffer(needle, np.uint8)
+    for d in range(1, 8):
+        pos = d * s - len(needle) // 2  # straddles the boundary
+        corpus[pos : pos + len(pat_arr)] = pat_arr
+    want = count_matches(corpus, [needle], k)
+    got = mk_scanner([needle], k, "database_over_devices").count(corpus)
+    assert got.tolist() == want
+    assert want[0] >= 7  # every planted needle (±band hits) was found
+
+
+def test_shard_count_invariance():
+    """Counts invariant to device count (race-freedom property, SURVEY §5)."""
+    corpus = random_dna(2500, seed=13)
+    pats = [random_dna(20, seed=14)]
+    k = 2
+    want = count_matches(corpus, pats, k)
+    for n_dev in [1, 2, 4, 8]:
+        got = mk_scanner(pats, k, "database_over_devices", n_dev=n_dev).count(corpus)
+        assert got.tolist() == want, n_dev
+
+
+def test_auto_strategy_picks_and_matches():
+    corpus = random_dna(3000, seed=19)
+    pats = [random_dna(25, seed=20)]
+    got = mk_scanner(pats, 1, "auto").count(corpus)
+    assert got.tolist() == count_matches(corpus, pats, 1)
+
+
+# -- planner unit tests -------------------------------------------------------
+
+
+def test_get_ratio_reference_parity():
+    """Worked examples from Workflow.md:100-271 / main.c:21-28."""
+    assert get_ratio(1.0) == 0.0
+    assert get_ratio(2.0) == 1.0
+    assert abs(get_ratio(0.75) - 0.5) < 1e-9  # 0.75 -> 1.5 -> 0.5
+    assert get_ratio(0.5) == 0.0
+    assert get_ratio(0) == float("inf")
+
+
+def test_choose_strategy_shapes():
+    assert choose_strategy(10**6, 50, 6, 0, 1) == "single"
+    assert choose_strategy(10**6, 50, 6, 0, 8) == "database_over_devices"
+    # tiny corpus, many perfectly-dividing patterns -> pattern sharding
+    assert choose_strategy(2000, 50, 64, 0, 8) == "patterns_over_devices"
+
+
+def test_plan_block_windows_bounds():
+    for nw in [100, 10**5, 10**8]:
+        for k in [0, 4, 16]:
+            p = Plan.make(nw, 50, 8, k, 8)
+            assert p.block_windows % 1024 == 0 or p.block_windows == 1024
+            assert 1024 <= p.block_windows <= 65536
