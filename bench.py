@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Headline benchmark: the reference's "Big" workload on one TPU chip.
+
+Workload (matches the reference's best recorded configuration, BASELINE.md):
+``dna/small_chrY_bigger.fa`` (1,591,301 bytes) scanned for 6 patterns
+(1x 32-char non-existent + 5x 50-char line_20783) at k = 0.
+
+Reference best: 3.89 s all-in on 3 nodes x (6 ranks x 8 OMP threads) + 1
+Pascal GPU per rank (experiments.xlsx "With GPU" rows 10-12), i.e.
+~0.409 MB/s. ``vs_baseline`` reports our throughput relative to that.
+
+Prints exactly one JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> int:
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(__file__), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import apm
+
+    dna = "/root/reference/dna"
+    big = os.path.join(dna, "small_chrY_bigger.fa")
+    if not os.path.exists(big):
+        print(json.dumps({"metric": "corpus_throughput", "value": 0.0, "unit": "MB/s", "vs_baseline": 0.0, "error": "corpus missing"}))
+        return 1
+    corpus = apm.read_input_file(big)
+    pats = [open(os.path.join(dna, "line_non_existent.fa"), "rb").read()] + [
+        open(os.path.join(dna, "line_20783.fa"), "rb").read()
+    ] * 5
+
+    sc = apm.Scanner(pats, k=0)
+    counts = sc.count(corpus)  # warm-up / compile
+
+    expected = apm.utils.oracle.count_matches(corpus, pats, 0)
+    if counts.tolist() != expected:
+        print(json.dumps({"metric": "corpus_throughput", "value": 0.0, "unit": "MB/s", "vs_baseline": 0.0, "error": f"count mismatch {counts.tolist()} != {expected}"}))
+        return 1
+
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        sc.count(corpus)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+
+    n = len(corpus)
+    mbps = n / best / 1e6
+    ref_mbps = n / 3.89 / 1e6  # reference best: 3.89 s on 3 nodes + GPUs
+    print(
+        json.dumps(
+            {
+                "metric": "corpus_throughput_big_6pat_k0",
+                "value": round(mbps, 3),
+                "unit": "MB/s",
+                "vs_baseline": round(mbps / ref_mbps, 2),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
