@@ -14,7 +14,7 @@ from typing import List, Optional, Sequence, Union
 import jax
 import numpy as np
 
-from ..ops.common import cap_for, pad_corpus, round_up
+from ..ops.common import cap_for, fold_corpus, pad_corpus, round_up
 from ..utils.config import ApmConfig
 from ..utils.io import PatternSet
 from ..utils.oracle import Bytes, as_u8
@@ -41,15 +41,58 @@ class Scanner:
         self.config = (config or ApmConfig()).validate()
         self.patterns = PatternSet.from_patterns(patterns)
         self.m_max = self.patterns.max_len
-        pat_packed, plen = self.patterns.packed(self.k)
+
+        # Deduplicate patterns: identical patterns share one scan and the
+        # counts are expanded afterwards. (The reference scans each duplicate
+        # separately — its own smoke test sends the same 50-char line five
+        # times, README.md:54-91.)
+        raw = list(self.patterns.raw)
+        if self.config.dedup_patterns:
+            uniq: List[bytes] = []
+            index = {}
+            inverse = []
+            for r in raw:
+                if r not in index:
+                    index[r] = len(uniq)
+                    uniq.append(r)
+                inverse.append(index[r])
+            self._inverse = np.asarray(inverse, dtype=np.int64)
+        else:
+            uniq = raw
+            self._inverse = np.arange(len(raw), dtype=np.int64)
+        self.scan_patterns = PatternSet.from_patterns(uniq)
+
+        pat_packed, plen = self.scan_patterns.packed(self.k)
         # Pad the pattern axis to a sublane multiple; padding rows have
-        # length 0 and can never match (their captured distance stays at cap).
-        p_pad = max(8, round_up(self.patterns.num_patterns, 8))
+        # length 0 and generate no work in the kernel.
+        p_pad = max(8, round_up(self.scan_patterns.num_patterns, 8))
         self._pat = np.zeros((p_pad, pat_packed.shape[1]), dtype=np.uint8)
         self._pat[: pat_packed.shape[0]] = pat_packed
         self._plen = np.zeros((p_pad,), dtype=np.int32)
         self._plen[: plen.shape[0]] = plen
+        self._plens_static = tuple(int(x) for x in self._plen)
         self.last_duration: Optional[float] = None
+        from ..utils.profiling import Meter
+
+        self.meter = Meter()
+        self.last_strategy: Optional[str] = None
+        # Device-resident staged-corpus cache: (fingerprint, wf, halo,
+        # chunk_win, c0) -> device array of folded rows.
+        self._dev_cache: dict = {}
+
+    @staticmethod
+    def _fingerprint(buf: np.ndarray) -> tuple:
+        """Cheap content fingerprint for the device-corpus cache.
+
+        Samples the ends and a strided middle slice; a same-length in-place
+        mutation that misses every sampled byte would go stale — callers
+        mutating corpora in place should disable ``cache_corpus``.
+        """
+        n = len(buf)
+        head = bytes(buf[:64].tobytes())
+        tail = bytes(buf[-64:].tobytes()) if n >= 64 else b""
+        mid = bytes(buf[:: max(1, n // 64)].tobytes())
+        return (n, hash(head), hash(tail), hash(mid))
 
     # -- backend selection ---------------------------------------------------
 
@@ -62,27 +105,97 @@ class Scanner:
 
     # -- single-device scan ---------------------------------------------------
 
+    def device_window_bound(self, n: int) -> int:
+        """Exclusive bound of device-owned window starts.
+
+        The device scans untruncated windows ``j <= n - m_max``; the <=
+        ``m_max - 1`` EOF-truncated windows (``sequential.c:131-134``) are
+        counted host-side by :meth:`tail_counts` — they are too few to
+        matter and removing them from the kernel removes a per-step
+        ``(P, W)`` compare.
+        """
+        return max(0, min(n - self.m_max + 1, n - self.k))
+
+    def tail_counts(self, buf: np.ndarray, dev_bound: int) -> np.ndarray:
+        """Oracle counts for the EOF tail windows ``j in [dev_bound, n-k)``.
+
+        Returned per *scan* (deduplicated) pattern.
+        """
+        from ..utils.oracle import count_matches
+
+        n = len(buf)
+        p = self.scan_patterns.num_patterns
+        out = np.zeros((p,), dtype=np.int64)
+        if dev_bound >= max(n - self.k, 0):
+            return out
+        out[:] = count_matches(
+            buf[dev_bound:], list(self.scan_patterns.raw), self.k
+        )
+        return out
+
+    def block_windows_for(self, n: int) -> int:
+        """Kernel block width: explicit config or the planner's choice."""
+        if self.config.block_windows is not None:
+            return self.config.block_windows
+        from ..parallel.plan import choose_block_windows
+
+        return choose_block_windows(
+            max(n - self.k, 0),
+            self.m_max,
+            self.scan_patterns.num_patterns,
+            self.k,
+        )
+
     def _count_single(self, buf: np.ndarray) -> np.ndarray:
         n = len(buf)
         backend = self._resolve_backend()
-        w = self.config.block_windows
-        halo = round_up(self.m_max, 128)
+        w = self.block_windows_for(n)
         if backend == "pallas":
-            from ..ops.pallas_kernel import scan_corpus_pallas
+            from ..ops.pallas_kernel import FOLD, scan_folded_pallas_unrolled
 
-            n_pad = max(round_up(max(n - self.k, 0), w), w)
-            corpus = pad_corpus(buf, n_pad, halo)
-            counts = scan_corpus_pallas(
-                jax.numpy.asarray(corpus),
-                jax.numpy.asarray(self._pat),
-                jax.numpy.asarray(self._plen),
-                jax.numpy.asarray(n, dtype=np.int32),
-                jax.numpy.asarray(0, dtype=np.int32),
-                k=self.k,
-                m_max=self.m_max,
-                w=w,
-                halo=halo,
-                interpret=self.config.interpret,
+            w = round_up(w, FOLD * 128)  # folded layout needs 128-lane rows
+            wf = w // FOLD
+            halo = round_up(self.m_max, 128)
+            dev_bound = self.device_window_bound(n)
+            p_pad = self._pat.shape[0]
+            counts = np.zeros((p_pad,), dtype=np.int64)
+            # Host-side chunk loop: every chunk is the same compiled shape
+            # (the window-bound masks the last chunk's padding), so one jit
+            # compilation serves arbitrarily large corpora with bounded
+            # staging memory — and accumulating counts per chunk host-side
+            # is checkpoint/resume for free (SURVEY.md §5).
+            chunk_win = max(
+                w, round_up(min(self.config.chunk_bytes, max(dev_bound, 1)), w)
+            )
+            n_rows = chunk_win // wf
+            dpat = jax.numpy.asarray(self._pat)
+            dbound = jax.numpy.asarray(dev_bound, dtype=np.int32)
+            fp = (
+                self._fingerprint(buf) if self.config.cache_corpus else None
+            )
+            for c0 in range(0, dev_bound, chunk_win):
+                key = (fp, wf, halo, chunk_win, c0)
+                drows = self._dev_cache.get(key) if fp is not None else None
+                if drows is None:
+                    rows = fold_corpus(buf, c0, n_rows, wf, halo)
+                    drows = jax.numpy.asarray(rows)
+                    if fp is not None:
+                        self._dev_cache[key] = drows
+                dev = scan_folded_pallas_unrolled(
+                    drows,
+                    dpat,
+                    dbound,
+                    jax.numpy.asarray(c0, dtype=np.int32),
+                    k=self.k,
+                    m_max=self.m_max,
+                    wf=wf,
+                    halo=halo,
+                    plens=self._plens_static,
+                    interpret=self.config.interpret,
+                )
+                counts += np.asarray(dev)
+            counts[: self.scan_patterns.num_patterns] += self.tail_counts(
+                buf, dev_bound
             )
         else:
             from ..ops.xla_engine import scan_corpus_xla
@@ -121,7 +234,7 @@ class Scanner:
             from ..parallel.plan import choose_strategy
 
             strategy = choose_strategy(
-                n, self.m_max, self.patterns.num_patterns, self.k, n_dev
+                n, self.m_max, self.scan_patterns.num_patterns, self.k, n_dev
             )
 
         if strategy == "single" or n_dev == 1:
@@ -130,8 +243,27 @@ class Scanner:
             from ..parallel.strategies import count_distributed
 
             counts = count_distributed(self, buf, strategy, n_dev)
+        uniq = counts[: self.scan_patterns.num_patterns].astype(np.int64)
+        expanded = uniq[self._inverse]
         self.last_duration = time.perf_counter() - t0
-        return counts[:p].astype(np.int64)
+        self.last_strategy = strategy
+
+        from ..utils.profiling import ScanStats, info
+
+        stats = ScanStats(
+            corpus_bytes=n,
+            patterns=p,
+            unique_patterns=self.scan_patterns.num_patterns,
+            k=self.k,
+            strategy=strategy,
+            backend=self._resolve_backend(),
+            block_windows=self.block_windows_for(n),
+            seconds=self.last_duration,
+        )
+        self.meter.record(stats)
+        if self.config.verbose:
+            info(stats.line())
+        return expanded
 
 
 def scan_counts(

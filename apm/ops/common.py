@@ -25,3 +25,30 @@ def pad_corpus(buf: np.ndarray, n_pad: int, halo: int) -> np.ndarray:
     out = np.zeros(n_pad + halo, dtype=np.uint8)
     out[: len(buf)] = buf
     return out
+
+
+def fold_corpus(
+    buf: np.ndarray, offset: int, n_rows: int, wf: int, halo: int
+) -> np.ndarray:
+    """Stage the corpus into overlapping rows for the folded Pallas kernel.
+
+    Row ``r`` holds bytes ``buf[offset + r*wf : offset + r*wf + wf + halo)``,
+    zero-padded past EOF. The ~``halo/wf`` duplication buys fully-dense
+    sublane tiling and lets the Pallas pipeline fetch each block with one
+    contiguous DMA (no in-kernel gather).
+    """
+    try:
+        from ..utils import native
+
+        if native.available():
+            return native.fold(buf, offset, n_rows, wf, halo)
+    except Exception:
+        pass
+    flat = np.zeros(n_rows * wf + halo, dtype=np.uint8)
+    avail = max(0, min(len(buf) - offset, n_rows * wf + halo))
+    if avail > 0:
+        flat[:avail] = buf[offset : offset + avail]
+    rows = np.lib.stride_tricks.as_strided(
+        flat, shape=(n_rows, wf + halo), strides=(wf, 1)
+    )
+    return np.ascontiguousarray(rows)

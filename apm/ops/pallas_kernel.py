@@ -5,22 +5,37 @@ reference's two compute kernels (CPU single-column square DP,
 ``src/utils.c:76-99``, and the CUDA grid-stride window kernel,
 ``src/patterns_over_ranks.cu:19-73``). Instead of one DP matrix per window per
 thread, the whole ``(P patterns, W windows)`` batch advances its DP wavefront
-in lockstep as VPU vector ops on ``(P, W)`` int32 tiles held in VMEM:
+in lockstep as VPU vector ops on VMEM tiles.
 
-* the corpus stays in HBM as raw uint8; each grid step DMAs one
-  ``W + halo``-byte text block into a double-buffered VMEM scratch slot so the
-  next block's DMA overlaps this block's compute;
-* the DP band ``B[d] = D[x][x+d]`` for ``d in [-k, k]`` is clamped at
-  ``cap = k + 1`` (clamping commutes with the min-plus recurrence, so the
-  ``dist <= k`` verdict is exact — see ``apm.ops.common.cap_for``);
-* the text window for DP step ``x`` is obtained by rolling the block left one
-  lane per step (a cheap lane rotation) instead of a dynamic lane slice;
-* per-pattern hit counts are reduced in-kernel (``sum over the W lane axis``)
-  and accumulated across grid steps into a single ``(P, 1)`` VMEM tile — no
-  per-window output ever touches HBM.
+Layout (the part that makes it fast — everything is strictly 2D vectors,
+which is what Mosaic lays out best):
 
-Semantics match ``sequential.c`` exactly (window bound ``n - k``, EOF prefix
-truncation via ``size = min(m, n - j)`` captured at DP step ``x == size``).
+* a block of ``W`` windows is **folded onto sublanes**: window ``j`` lives at
+  row ``s = j // wf``, lane ``j % wf``; all DP state is shaped
+  ``(P * FOLD, wf)`` with row ``r = p * FOLD + s`` — every vreg fully dense;
+* the corpus is staged host-side into overlapping rows ``row r = bytes
+  [r*wf, r*wf + wf + halo)`` (uint8 in HBM); the Pallas pipeline fetches one
+  ``(FOLD, wf + halo)`` block per grid step (automatic double buffering);
+  the kernel widens it to int32 and replicates it across the ``P`` pattern
+  groups once per block, then rolls it one lane per DP step;
+* DP cells are **unclamped** int32 with an additive-safe INF for
+  out-of-band/boundary cells (values grow at most +1 per step, so no
+  overflow and no per-op clamp — the true banded value is exact inside the
+  band, which is all the ``dist <= k`` verdict needs);
+* the first ``k`` DP steps (the only ones that can touch the ``D[x][0] = x``
+  boundary column) are unrolled in Python with the boundary resolved at
+  trace time, so the steady-state loop carries no boundary selects;
+* EOF-truncated windows (``size = min(m, n - j) < m``, ``sequential.c:131``)
+  are **not** handled here: the scanner owns windows ``j <= n - m_max`` on
+  device and counts the <= ``m_max - 1`` tail windows with the NumPy oracle,
+  so the in-kernel capture is one ``plen == x`` select per step;
+* per-pattern hit counts are reduced in-kernel and accumulated into a
+  ``(P * FOLD, 1)`` VMEM tile across grid steps — no per-window output ever
+  touches HBM.
+
+Semantics: per-pattern count of window starts ``j`` in ``[start, bound)``
+with banded Levenshtein distance (band ``|d| <= k``) <= k, identical to
+``sequential.c:104-144`` for untruncated windows.
 """
 
 from __future__ import annotations
@@ -29,163 +44,376 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .common import cap_for
+FOLD = 8  # window-axis fold onto sublanes (8 rows = int32 sublane tile)
+INF = 1 << 20  # additive-safe infinity for out-of-band cells
 
 
 def _scan_kernel(
-    meta_ref,  # SMEM (1, 2) int32 — [true corpus byte count, global start]
-    corpus_ref,  # ANY/HBM (1, n_pad + halo) int32 (widened bytes)
-    pband_ref,  # VMEM (m_max, P, 2k+1) int32 — per-step pattern band chars
-    plen_ref,  # VMEM (P, 1) int32 — pattern lengths (0 = padding row)
-    out_ref,  # VMEM (P, 1) int32 — per-pattern match counts (accumulated)
-    tbuf,  # VMEM scratch (2, 1, W + halo) int32 — double-buffered text
-    sem,  # DMA semaphores (2,)
+    meta_ref,  # SMEM (1, 2) int32 — [window bound (global), global start]
+    corpus_ref,  # VMEM (FOLD, wf + halo) uint8 — this block's text rows
+    pband_ref,  # VMEM (m_max, P*FOLD, 2k+1) int32 — expanded pattern chars
+    plen_ref,  # VMEM (P*FOLD, 1) int32 — expanded pattern lengths
+    out_ref,  # VMEM (P*FOLD, 1) int32 — per-row match counts (accumulated)
     *,
     k: int,
     m_max: int,
-    w: int,
+    wf: int,  # windows per fold row (lane width); W = FOLD * wf
+    p: int,  # number of pattern rows (before FOLD expansion)
 ):
     i = pl.program_id(0)
-    nblk = pl.num_programs(0)
-    wp = tbuf.shape[2]  # W + halo
-    p = out_ref.shape[0]
+    rows = p * FOLD
     bw = 2 * k + 1
-    cap = jnp.int32(cap_for(k))
-
-    def text_dma(slot, blk):
-        return pltpu.make_async_copy(
-            corpus_ref.at[:, pl.ds(blk * w, wp)],
-            tbuf.at[slot],
-            sem.at[slot],
-        )
+    w = FOLD * wf
 
     @pl.when(i == 0)
     def _():
-        text_dma(0, 0).start()
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    @pl.when(i + 1 < nblk)
-    def _():
-        text_dma((i + 1) % 2, i + 1).start()
+    # Widen to int32 and replicate across the P pattern groups (row-major
+    # r = p*FOLD + s, matching the host-side pband/plen expansion).
+    text1 = corpus_ref[:].astype(jnp.int32)  # (FOLD, wpf)
+    text0 = jnp.concatenate([text1] * p, axis=0)  # (P*FOLD, wpf)
 
-    text_dma(i % 2, i).wait()
-    text0 = tbuf[i % 2]  # (1, wp) int32
-
-    n_val = meta_ref[0, 0]
+    bound = meta_ref[0, 0]
     start = meta_ref[0, 1]
-    win = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1) + i * w + start
-    valid = win < jnp.maximum(n_val - k, 0)  # (1, w)
-    sizes = jnp.minimum(plen_ref[:], n_val - win)  # (P, w) truncated lengths
+    # win[r, j'] = global index of window (s = r % FOLD, lane j')
+    sub_id = jax.lax.broadcasted_iota(jnp.int32, (rows, wf), 0) % FOLD
+    win = (
+        sub_id * wf
+        + jax.lax.broadcasted_iota(jnp.int32, (rows, wf), 1)
+        + (i * w + start)
+    )
+    valid = win < bound  # (P*FOLD, wf)
+    plen2 = plen_ref[:]  # (P*FOLD, 1)
 
+    # band[k+d] = D[x][x+d]; row x=0: D[0][y] = y for y in [0, k], INF outside.
     band0 = tuple(
-        jnp.full((p, w), jnp.int32(d) if d >= 0 else cap, dtype=jnp.int32)
+        jnp.full((rows, wf), jnp.int32(d) if d >= 0 else INF, jnp.int32)
         for d in range(-k, k + 1)
     )
-    res0 = jnp.full((p, w), cap, dtype=jnp.int32)
+    res0 = jnp.full((rows, wf), INF, dtype=jnp.int32)
 
-    def step(x, carry):
-        text, band, res = carry
-        tx = text[:, :w]  # (1, w) int32 — window byte at DP step x
-        px = pband_ref[x - 1]  # (P, bw) pattern chars for offsets d=-k..k
+    def step(x, text, band, res, static_x: bool):
+        """One DP step; ``static_x`` prunes boundary work at trace time."""
+        tx = text[:, :wf]  # (P*FOLD, wf) — text byte at DP step x
+        px = pband_ref[x - 1]  # (P*FOLD, bw)
         new = []
-        prev = jnp.full((p, w), cap, dtype=jnp.int32)  # insertion chain
+        prev = None
         for di in range(bw):
             d = di - k
-            c = (px[:, di : di + 1] != tx).astype(jnp.int32)  # (P, w)
-            sub = band[di] + c
-            dele = (band[di + 1] + 1) if d < k else cap
-            val = jnp.minimum(jnp.minimum(sub, dele), prev + 1)
-            # boundary column D[x][0] = x (cell y = x + d == 0, only x <= k)
-            if d < 0:
-                val = jnp.where(x + d == 0, x, val)
-            val = jnp.minimum(val, cap)
+            if static_x and x + d == 0:
+                # boundary column D[x][0] = x — exact, no data dependence
+                val = jnp.full((rows, wf), jnp.int32(x), jnp.int32)
+            elif static_x and x + d < 0:
+                val = jnp.full((rows, wf), INF, jnp.int32)
+            else:
+                c = (px[:, di : di + 1] != tx).astype(jnp.int32)
+                val = band[di] + c  # substitution
+                if d < k:
+                    val = jnp.minimum(val, band[di + 1] + 1)  # deletion
+                if prev is not None:
+                    val = jnp.minimum(val, prev + 1)  # insertion
             new.append(val)
             prev = val
-        res = jnp.where(sizes == x, new[k], res)  # capture D[size][size]
+        res = jnp.where(plen2 == x, new[k], res)  # capture D[m][m]
         text = pltpu.roll(text, shift=text.shape[1] - 1, axis=1)
         return text, tuple(new), res
 
-    _, _, res = jax.lax.fori_loop(
-        1, m_max + 1, step, (text0, band0, res0), unroll=False
-    )
+    text, band, res = text0, band0, res0
+    for x in range(1, min(k, m_max) + 1):  # boundary steps, unrolled
+        text, band, res = step(x, text, band, res, static_x=True)
+
+    if m_max > k:
+
+        def body(x, carry):
+            text, band, res = carry
+            return step(x, text, band, res, static_x=False)
+
+        text, band, res = jax.lax.fori_loop(
+            k + 1, m_max + 1, body, (text, band, res), unroll=False
+        )
+
     hits = jnp.logical_and(res <= k, valid)
     out_ref[:] += jnp.sum(hits.astype(jnp.int32), axis=1, keepdims=True)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("k", "m_max", "w", "halo", "interpret")
-)
-def scan_corpus_pallas(
-    corpus: jax.Array,  # (n_pad + halo,) uint8, n_pad % w == 0, zero-padded
-    pat: jax.Array,  # (P, m_max + 2k) uint8 — k-padded pattern table
-    plen: jax.Array,  # (P,) int32
-    n: jax.Array,  # () int32 — true corpus byte count
-    start: jax.Array,  # () int32 — global window index of corpus[0] (sharding)
+def _scan_kernel_unrolled(
+    meta_ref,  # SMEM (1, 2) int32 — [window bound (global), global start]
+    pchar_ref,  # SMEM (P, m_max + 2k) int32 — k-padded pattern chars
+    corpus_ref,  # VMEM (FOLD, wf + halo) uint8 — this block's text rows
+    out_ref,  # VMEM (P * FOLD, 1) int32 — per-row match counts
     *,
     k: int,
     m_max: int,
-    w: int,
+    wf: int,
+    plens: tuple,  # static per-pattern lengths (0 = padding row, skipped)
+):
+    """Pattern-unrolled, length-segmented variant.
+
+    The pattern loop is a Python loop (pattern chars are SMEM scalars
+    broadcast into the compares — no replicated text, no VMEM pattern
+    table, padding rows cost nothing). The DP-step loop is segmented at the
+    distinct pattern lengths: within a segment a single ``fori_loop``
+    advances every still-active pattern's band; at each segment boundary the
+    finished patterns' ``D[m][m]`` is captured as a trace-time binding (zero
+    select ops) and those patterns drop out of the carry. The first
+    ``min(k, m_max)`` steps are Python-unrolled so the ``D[x][0] = x``
+    boundary column resolves statically. Only the small ``(FOLD, wf+halo)``
+    text tile rolls one lane per step.
+    """
+    i = pl.program_id(0)
+    p = len(plens)
+    w = FOLD * wf
+    active = sorted({m for m in plens if m > 0})
+    if not active:
+        out_ref[:] = jnp.zeros_like(out_ref)
+        return
+    m_top = active[-1]
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    text0 = corpus_ref[:].astype(jnp.int32)  # (FOLD, wpf)
+
+    bound = meta_ref[0, 0]
+    start = meta_ref[0, 1]
+    win = (
+        jax.lax.broadcasted_iota(jnp.int32, (FOLD, wf), 0) * wf
+        + jax.lax.broadcasted_iota(jnp.int32, (FOLD, wf), 1)
+        + (i * w + start)
+    )
+    valid = win < bound  # (FOLD, wf)
+
+    full = lambda v: jnp.full((FOLD, wf), jnp.int32(v), jnp.int32)
+
+    def dp_step(band, tx, pi, x, static_x):
+        """Advance pattern pi's band by one DP step (x traced or static)."""
+        new = []
+        prev = None
+        for di in range(2 * k + 1):
+            d = di - k
+            if static_x is not None and static_x + d == 0:
+                val = full(static_x)  # boundary column D[x][0] = x
+            elif static_x is not None and static_x + d < 0:
+                val = None
+            else:
+                c = (tx != pchar_ref[pi, x - 1 + d + k]).astype(jnp.int32)
+                val = None
+                if band[di] is not None:
+                    val = band[di] + c  # substitution
+                if d < k and band[di + 1] is not None:
+                    dele = band[di + 1] + 1
+                    val = dele if val is None else jnp.minimum(val, dele)
+                if prev is not None:
+                    ins = prev + 1
+                    val = ins if val is None else jnp.minimum(val, ins)
+            new.append(val)
+            prev = val
+        return new
+
+    # Per-pattern band state, indexed by pattern slot. Row x=0: D[0][y] = y.
+    bands = {
+        pi: [
+            full(di - k) if 0 <= di - k <= m else None
+            for di in range(2 * k + 1)
+        ]
+        for pi, m in enumerate(plens)
+        if m > 0
+    }
+    res = {}
+    text = text0
+
+    # Phase 1: boundary steps, Python-unrolled (x <= k).
+    x_static_top = min(k, m_top)
+    for x in range(1, x_static_top + 1):
+        tx = text[:, :wf]
+        for pi, m in enumerate(plens):
+            if m > 0 and x <= m:
+                bands[pi] = dp_step(bands[pi], tx, pi, x, x)
+                if x == m:
+                    res[pi] = bands[pi][k]
+        text = pltpu.roll(text, shift=text.shape[1] - 1, axis=1)
+
+    # Phase 2: steady state, segmented at distinct pattern lengths.
+    seg_bounds = [m for m in active if m > x_static_top]
+    lo = x_static_top + 1
+    for seg_end in seg_bounds:
+        live = [
+            pi for pi, m in enumerate(plens) if m >= lo and m > 0
+        ]
+        # Materialize any remaining None cells (unreachable garbage lanes
+        # feed only higher garbage lanes — see module docstring).
+        carry_bands = tuple(
+            tuple(b if b is not None else full(INF) for b in bands[pi])
+            for pi in live
+        )
+
+        def body(x, carry):
+            text, cb = carry
+            tx = text[:, :wf]
+            new_cb = tuple(
+                tuple(dp_step(list(cb[j]), tx, pi, x, None))
+                for j, pi in enumerate(live)
+            )
+            text = pltpu.roll(text, shift=text.shape[1] - 1, axis=1)
+            return text, new_cb
+
+        text, carry_bands = jax.lax.fori_loop(
+            lo, seg_end + 1, body, (text, carry_bands), unroll=False
+        )
+        for j, pi in enumerate(live):
+            bands[pi] = list(carry_bands[j])
+            if plens[pi] == seg_end:
+                res[pi] = bands[pi][k]  # capture D[m][m] — free
+        lo = seg_end + 1
+
+    for pi, m in enumerate(plens):
+        if m == 0:
+            continue
+        hits = jnp.logical_and(res[pi] <= k, valid)
+        out_ref[pl.ds(pi * FOLD, FOLD), :] += jnp.sum(
+            hits.astype(jnp.int32), axis=1, keepdims=True
+        )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "m_max", "wf", "halo", "plens", "interpret"),
+)
+def scan_folded_pallas_unrolled(
+    corpus_rows: jax.Array,  # (R, wf + halo) uint8 — folded corpus rows
+    pat: jax.Array,  # (P, m_max + 2k) uint8 — k-padded pattern table
+    bound: jax.Array,  # () int32 — global window-index bound (exclusive)
+    start: jax.Array,  # () int32 — global window index of row 0, byte 0
+    *,
+    k: int,
+    m_max: int,
+    wf: int,
     halo: int,
+    plens: tuple,  # static per-pattern lengths
     interpret: bool = False,
 ) -> jax.Array:
-    """Per-pattern match counts over the whole corpus. Returns (P,) int32."""
+    """Fully-unrolled scan. Same contract as :func:`scan_folded_pallas` but
+    pattern lengths are static (one compile per length multiset)."""
     p = pat.shape[0]
-    total = corpus.shape[0]
-    n_pad = total - halo
-    assert halo >= m_max, (halo, m_max)
-    assert n_pad % w == 0 and n_pad > 0, (total, w, halo)
-    nblk = n_pad // w
+    r_rows, wpf = corpus_rows.shape
+    assert wpf == wf + halo, (wpf, wf, halo)
+    assert halo >= m_max - 1, (halo, m_max)
+    assert r_rows % FOLD == 0 and r_rows > 0, r_rows
+    assert len(plens) == p
+    nblk = r_rows // FOLD
     bw = 2 * k + 1
 
-    # Mosaic int8 sublane packing (4/sublane) forbids the leading-dim slices
-    # this kernel needs (double-buffer slot, per-step pattern band row), and
-    # lane rotation is 32-bit only — so text and pattern tiles live as int32
-    # on device. The widening happens once under jit; the scan is compute-
-    # bound (m_max DP steps per byte) so the 4x HBM traffic is immaterial.
-    corpus2d = corpus.astype(jnp.int32).reshape(1, total)
-    # Per-DP-step pattern band chars: pband[x-1] = pat[:, x-1 : x-1+bw].
-    # Tiny ((m_max, P, bw) int32) — avoids dynamic lane slices in the kernel.
-    pband = jnp.stack([pat[:, x : x + bw] for x in range(m_max)]).astype(
-        jnp.int32
-    )
-    plen2d = plen.reshape(p, 1).astype(jnp.int32)
+    pchar = pat.astype(jnp.int32)
     meta = jnp.stack(
-        [n.astype(jnp.int32).reshape(()), start.astype(jnp.int32).reshape(())]
+        [bound.astype(jnp.int32).reshape(()), start.astype(jnp.int32).reshape(())]
     ).reshape(1, 2)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(nblk,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # n
-            pl.BlockSpec(memory_space=pl.ANY),  # corpus (stays in HBM)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # pband
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # plen
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # meta
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # pattern chars
+            pl.BlockSpec((FOLD, wpf), lambda i: (i, 0)),  # corpus rows
         ],
         out_specs=pl.BlockSpec(
-            (p, 1), lambda i: (0, 0), memory_space=pltpu.VMEM
+            (p * FOLD, 1), lambda i: (0, 0), memory_space=pltpu.VMEM
         ),
-        scratch_shapes=[
-            pltpu.VMEM((2, 1, w + halo), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
     )
 
     counts = pl.pallas_call(
-        functools.partial(_scan_kernel, k=k, m_max=m_max, w=w),
+        functools.partial(
+            _scan_kernel_unrolled, k=k, m_max=m_max, wf=wf, plens=plens
+        ),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((p, 1), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((p * FOLD, 1), jnp.int32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=nblk * m_max * bw * p * w * 6,
-            bytes_accessed=total + nblk * (w + halo),
+            flops=nblk * m_max * bw * p * FOLD * wf * 5,
+            bytes_accessed=r_rows * wpf + nblk * p * 4,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(meta, corpus2d, pband, plen2d)
-    return counts[:, 0]
+    )(meta, pchar, corpus_rows)
+    return jnp.sum(counts.reshape(p, FOLD), axis=1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "m_max", "wf", "halo", "interpret")
+)
+def scan_folded_pallas(
+    corpus_rows: jax.Array,  # (R, wf + halo) uint8 — folded corpus rows
+    pat: jax.Array,  # (P, m_max + 2k) uint8 — k-padded pattern table
+    plen: jax.Array,  # (P,) int32
+    bound: jax.Array,  # () int32 — global window-index bound (exclusive)
+    start: jax.Array,  # () int32 — global window index of row 0, byte 0
+    *,
+    k: int,
+    m_max: int,
+    wf: int,
+    halo: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """Per-pattern counts of matching windows in [start, bound). (P,) int32.
+
+    ``corpus_rows`` row ``r`` must hold corpus bytes
+    ``[start + r*wf, start + r*wf + wf + halo)`` (zero-padded past EOF), with
+    ``halo >= m_max - 1`` and the row count ``R`` a multiple of ``FOLD``.
+    """
+    p = pat.shape[0]
+    r_rows, wpf = corpus_rows.shape
+    assert wpf == wf + halo, (wpf, wf, halo)
+    assert halo >= m_max - 1, (halo, m_max)
+    assert r_rows % FOLD == 0 and r_rows > 0, r_rows
+    nblk = r_rows // FOLD
+    bw = 2 * k + 1
+
+    # Per-DP-step pattern band chars pband[x-1] = pat[:, x-1 : x-1+bw],
+    # expanded to one row per (pattern, fold) pair and widened to int32
+    # (Mosaic packs int8 4/sublane, which forbids the per-step leading-dim
+    # slice this kernel does; the table is tiny).
+    pband = jnp.stack([pat[:, x : x + bw] for x in range(m_max)])
+    pband = jnp.repeat(pband, FOLD, axis=1).astype(jnp.int32)
+    plen_exp = jnp.repeat(plen.astype(jnp.int32), FOLD).reshape(p * FOLD, 1)
+    meta = jnp.stack(
+        [bound.astype(jnp.int32).reshape(()), start.astype(jnp.int32).reshape(())]
+    ).reshape(1, 2)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # meta
+            pl.BlockSpec((FOLD, wpf), lambda i: (i, 0)),  # corpus rows
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # pband
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # plen
+        ],
+        out_specs=pl.BlockSpec(
+            (p * FOLD, 1), lambda i: (0, 0), memory_space=pltpu.VMEM
+        ),
+    )
+
+    counts = pl.pallas_call(
+        functools.partial(_scan_kernel, k=k, m_max=m_max, wf=wf, p=p),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((p * FOLD, 1), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=nblk * m_max * bw * p * FOLD * wf * 5,
+            bytes_accessed=r_rows * wpf + nblk * p * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(meta, corpus_rows, pband, plen_exp)
+    # Sum the FOLD sub-rows of each pattern back together.
+    return jnp.sum(counts.reshape(p, FOLD), axis=1)

@@ -65,15 +65,17 @@ def choose_strategy(n: int, m_max: int, p: int, k: int, n_dev: int) -> str:
 
 
 def choose_block_windows(nw: int, m_max: int, p: int, k: int) -> int:
-    """Kernel block width: lane-axis windows per grid step.
+    """Kernel block width: windows per Pallas grid step.
 
-    Larger blocks amortize grid/DMA overhead; the VMEM footprint per block is
-    roughly ``(2k + 2) * p * w * 4`` bytes of DP band plus the text tile, so
-    cap ``w`` to keep the working set comfortably inside ~16 MB of VMEM.
+    Larger blocks amortize grid overhead; the VMEM footprint per block is
+    roughly ``p * (2k + 1) * w * 4`` bytes of live DP band (one
+    ``(FOLD, w/FOLD)`` int32 tile per pattern per diagonal) plus temporaries,
+    so cap ``w`` to keep the working set well inside the 16 MB of VMEM.
+    ``p`` should be the number of *distinct* patterns actually scanned.
     """
-    budget = 8 << 20  # half of VMEM for the DP band
-    band_rows = 2 * k + 3
-    p_eff = max(p, 8)
+    budget = 6 << 20  # DP-band budget; leaves room for temps + text tiles
+    band_rows = 2 * k + 2
+    p_eff = max(p, 1)
     w_cap = budget // (band_rows * p_eff * 4)
     w = min(65536, max(1024, w_cap))
     w = round_up(min(w, max(nw, 1)), 1024)

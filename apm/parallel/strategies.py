@@ -10,11 +10,11 @@ count vector over ICI.
 * ``database_over_devices`` — the analog of strategy B
   (``src/database_over_ranks.c``): the corpus window axis is sharded across
   the ``data`` mesh axis; each device's shard carries a host-materialized
-  halo of ``round_up(m_max, 128)`` extra bytes (the moral equivalent of the
-  ``(m-1)``-byte halo at ``database_over_ranks.c:339-343``); per-pattern
-  counts are combined with ``jax.lax.psum``. Unlike the reference — which
-  double-counts windows in the halo seam (Report §4.3) — every window start
-  is owned by exactly one shard.
+  halo (the moral equivalent of the ``(m-1)``-byte halo at
+  ``database_over_ranks.c:339-343``); per-pattern counts are combined with
+  ``jax.lax.psum``. Unlike the reference — which double-counts windows in
+  the halo seam (Report §4.3) — every window start is owned by exactly one
+  shard.
 * ``patterns_over_devices`` — the analog of strategy A
   (``src/patterns_over_ranks.c``): the pattern axis is sharded, the corpus is
   replicated (the Bcast analog, done once by placement); no reduction needed,
@@ -35,7 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.common import round_up
+from ..ops.common import fold_corpus, pad_corpus, round_up
 
 if TYPE_CHECKING:  # pragma: no cover
     from ..models.scanner import Scanner
@@ -45,111 +45,152 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
-def _engine_counts(corpus, pat, plen, n, start, *, backend, k, m_max, w, halo, interpret):
-    """Per-device compute body shared by both strategies."""
-    if backend == "pallas":
-        from ..ops.pallas_kernel import scan_corpus_pallas
-
-        return scan_corpus_pallas(
-            corpus, pat, plen, n, start,
-            k=k, m_max=m_max, w=w, halo=halo, interpret=interpret,
-        )
-    from ..ops.xla_engine import scan_corpus_xla
-
-    return scan_corpus_xla(corpus, pat, plen, n, start, k=k, m_max=m_max, v=w)
-
-
 @functools.partial(
     jax.jit,
-    static_argnames=("mesh", "backend", "k", "m_max", "w", "halo", "interpret"),
+    static_argnames=(
+        "mesh", "backend", "k", "m_max", "w", "halo", "plens", "interpret"
+    ),
 )
-def _database_sharded(shards, starts, pat, plen, n, *, mesh, backend, k, m_max, w, halo, interpret):
-    def body(shard, start, pat, plen, n):
-        counts = _engine_counts(
-            shard[0], pat, plen, n, start[0],
-            backend=backend, k=k, m_max=m_max, w=w, halo=halo, interpret=interpret,
-        )
+def _database_sharded(shards, starts, pat, plen, bound, *, mesh, backend, k, m_max, w, halo, plens, interpret):
+    def body(shard, start, pat, plen, bound):
+        if backend == "pallas":
+            from ..ops.pallas_kernel import scan_folded_pallas_unrolled
+
+            counts = scan_folded_pallas_unrolled(
+                shard[0], pat, bound, start[0],
+                k=k, m_max=m_max, wf=w, halo=halo, plens=plens,
+                interpret=interpret,
+            )
+        else:
+            from ..ops.xla_engine import scan_corpus_xla
+
+            counts = scan_corpus_xla(
+                shard.reshape(-1), pat, plen, bound, start[0], k=k, m_max=m_max, v=w
+            )
         return jax.lax.psum(counts, "data")
 
     return jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(P("data", None), P("data"), P(None, None), P(None), P()),
+        in_specs=(P("data", None, None), P("data"), P(None, None), P(None), P()),
         out_specs=P(None),
         check_vma=False,
-    )(shards, starts, pat, plen, n)
+    )(shards, starts, pat, plen, bound)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "backend", "k", "m_max", "w", "halo", "interpret"),
 )
-def _patterns_sharded(corpus, pat, plen, n, *, mesh, backend, k, m_max, w, halo, interpret):
-    def body(corpus, pat, plen, n):
-        return _engine_counts(
-            corpus, pat, plen, n, jnp.int32(0),
-            backend=backend, k=k, m_max=m_max, w=w, halo=halo, interpret=interpret,
+def _patterns_sharded(corpus, pat, plen, bound, *, mesh, backend, k, m_max, w, halo, interpret):
+    # NB: shard_map traces the body once for every device, but each device
+    # holds a *different* slice of the pattern table — so this strategy uses
+    # the generic (dynamic pattern-length) kernel, not the length-segmented
+    # one whose lengths are trace-time constants.
+    def body(corpus, pat, plen, bound):
+        if backend == "pallas":
+            from ..ops.pallas_kernel import scan_folded_pallas
+
+            return scan_folded_pallas(
+                corpus, pat, plen, bound, jnp.int32(0),
+                k=k, m_max=m_max, wf=w, halo=halo, interpret=interpret,
+            )
+        from ..ops.xla_engine import scan_corpus_xla
+
+        return scan_corpus_xla(
+            corpus, pat, plen, bound, jnp.int32(0), k=k, m_max=m_max, v=w
         )
 
+    corpus_spec = P(None, None) if corpus.ndim == 2 else P(None)
     return jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(P(None), P("pat", None), P("pat"), P()),
+        in_specs=(corpus_spec, P("pat", None), P("pat"), P()),
         out_specs=P("pat"),
         check_vma=False,
-    )(corpus, pat, plen, n)
+    )(corpus, pat, plen, bound)
 
 
 def count_database_over_devices(scanner: "Scanner", buf: np.ndarray, n_dev: int) -> np.ndarray:
-    """Shard the window axis over ``n_dev`` devices with host-side halos."""
+    """Shard the window axis over ``n_dev`` devices with host-side halos.
+
+    Window ownership: shard ``d`` owns starts ``[d*s, (d+1)*s)`` intersected
+    with the device window bound; the EOF tail is counted host-side once
+    (see ``Scanner.tail_counts``).
+    """
     k, m_max = scanner.k, scanner.m_max
     backend = scanner._resolve_backend()
-    w = scanner.config.block_windows
-    halo = round_up(m_max, 128) if backend == "pallas" else m_max
     n = len(buf)
-    nw = max(n - k, 0)
+    w = scanner.block_windows_for(n)
 
-    # Per-shard window count: multiple of the block width, >= w.
+    devices = np.asarray(jax.devices()[:n_dev])
+    mesh = Mesh(devices, ("data",))
+    rep = NamedSharding(mesh, P())
+    dpat = jax.device_put(scanner._pat, NamedSharding(mesh, P(None, None)))
+    dplen = jax.device_put(scanner._plen, NamedSharding(mesh, P(None)))
+
+    p_pad = scanner._pat.shape[0]
+    counts = np.zeros((p_pad,), dtype=np.int64)
+
+    if backend == "pallas":
+        from ..ops.pallas_kernel import FOLD
+
+        w = round_up(w, FOLD * 128)
+        wf = w // FOLD
+        halo = round_up(m_max, 128)
+        dev_bound = scanner.device_window_bound(n)
+        if dev_bound > 0:
+            s = max(round_up(_cdiv(dev_bound, n_dev), w), w)
+            rows_per = s // wf
+            shards = np.stack(
+                [fold_corpus(buf, d * s, rows_per, wf, halo) for d in range(n_dev)]
+            )
+            starts = np.arange(n_dev, dtype=np.int32) * s
+            dev = _database_sharded(
+                jax.device_put(shards, NamedSharding(mesh, P("data", None, None))),
+                jax.device_put(starts, NamedSharding(mesh, P("data"))),
+                dpat,
+                dplen,
+                jax.device_put(np.int32(dev_bound), rep),
+                mesh=mesh, backend=backend, k=k, m_max=m_max, w=wf, halo=halo,
+                plens=scanner._plens_static,
+                interpret=scanner.config.interpret,
+            )
+            counts += np.asarray(dev)
+        counts[: scanner.scan_patterns.num_patterns] += scanner.tail_counts(
+            buf, dev_bound
+        )
+        return counts
+
+    halo = m_max
+    nw = max(n - k, 0)
     s = max(round_up(_cdiv(max(nw, 1), n_dev), w), w)
-    shards = np.zeros((n_dev, s + halo), dtype=np.uint8)
+    shards = np.zeros((n_dev, 1, s + halo), dtype=np.uint8)
     for d in range(n_dev):
         lo = d * s
         hi = min(lo + s + halo, n)
         if lo < n:
-            shards[d, : hi - lo] = buf[lo:hi]
-    starts = (np.arange(n_dev, dtype=np.int32) * s)
-
-    devices = np.asarray(jax.devices()[:n_dev])
-    mesh = Mesh(devices, ("data",))
-    sh = jax.device_put(shards, NamedSharding(mesh, P("data", None)))
-    st = jax.device_put(starts, NamedSharding(mesh, P("data")))
-    rep = NamedSharding(mesh, P())
-    counts = _database_sharded(
-        sh,
-        st,
-        jax.device_put(scanner._pat, NamedSharding(mesh, P(None, None))),
-        jax.device_put(scanner._plen, NamedSharding(mesh, P(None))),
+            shards[d, 0, : hi - lo] = buf[lo:hi]
+    starts = np.arange(n_dev, dtype=np.int32) * s
+    dev = _database_sharded(
+        jax.device_put(shards, NamedSharding(mesh, P("data", None, None))),
+        jax.device_put(starts, NamedSharding(mesh, P("data"))),
+        dpat,
+        dplen,
         jax.device_put(np.int32(n), rep),
-        mesh=mesh,
-        backend=backend,
-        k=k,
-        m_max=m_max,
-        w=w,
-        halo=halo,
+        mesh=mesh, backend=backend, k=k, m_max=m_max, w=w, halo=halo,
+        plens=scanner._plens_static,
         interpret=scanner.config.interpret,
     )
-    return np.asarray(counts)
+    return np.asarray(dev).astype(np.int64)
 
 
 def count_patterns_over_devices(scanner: "Scanner", buf: np.ndarray, n_dev: int) -> np.ndarray:
     """Shard the pattern axis over ``n_dev`` devices; corpus replicated."""
-    from ..ops.common import pad_corpus
-
     k, m_max = scanner.k, scanner.m_max
     backend = scanner._resolve_backend()
-    w = scanner.config.block_windows
-    halo = round_up(m_max, 128) if backend == "pallas" else m_max
     n = len(buf)
+    w = scanner.block_windows_for(n)
 
     # Pad the pattern axis so it splits evenly into sublane-aligned shards.
     p_pad = scanner._pat.shape[0]
@@ -159,25 +200,46 @@ def count_patterns_over_devices(scanner: "Scanner", buf: np.ndarray, n_dev: int)
     plen = np.zeros((p_shard,), dtype=np.int32)
     plen[:p_pad] = scanner._plen
 
-    n_pad = max(round_up(max(n - k, 0), w), w)
-    corpus = pad_corpus(buf, n_pad, halo)
-
     devices = np.asarray(jax.devices()[:n_dev])
     mesh = Mesh(devices, ("pat",))
-    counts = _patterns_sharded(
+    dpat = jax.device_put(pat, NamedSharding(mesh, P("pat", None)))
+    dplen = jax.device_put(plen, NamedSharding(mesh, P("pat")))
+    rep = NamedSharding(mesh, P())
+
+    counts = np.zeros((p_shard,), dtype=np.int64)
+    if backend == "pallas":
+        from ..ops.pallas_kernel import FOLD
+
+        w = round_up(w, FOLD * 128)
+        wf = w // FOLD
+        halo = round_up(m_max, 128)
+        dev_bound = scanner.device_window_bound(n)
+        if dev_bound > 0:
+            n_rows = max(FOLD, round_up(_cdiv(dev_bound, wf), FOLD))
+            rows = fold_corpus(buf, 0, n_rows, wf, halo)
+            dev = _patterns_sharded(
+                jax.device_put(rows, NamedSharding(mesh, P(None, None))),
+                dpat, dplen,
+                jax.device_put(np.int32(dev_bound), rep),
+                mesh=mesh, backend=backend, k=k, m_max=m_max, w=wf, halo=halo,
+                interpret=scanner.config.interpret,
+            )
+            counts += np.asarray(dev)
+        counts[: scanner.scan_patterns.num_patterns] += scanner.tail_counts(
+            buf, dev_bound
+        )
+        return counts
+
+    n_pad = max(round_up(max(n - k, 0), w), w)
+    corpus = pad_corpus(buf, n_pad, m_max)
+    dev = _patterns_sharded(
         jax.device_put(corpus, NamedSharding(mesh, P(None))),
-        jax.device_put(pat, NamedSharding(mesh, P("pat", None))),
-        jax.device_put(plen, NamedSharding(mesh, P("pat"))),
-        jax.device_put(np.int32(n), NamedSharding(mesh, P())),
-        mesh=mesh,
-        backend=backend,
-        k=k,
-        m_max=m_max,
-        w=w,
-        halo=halo,
+        dpat, dplen,
+        jax.device_put(np.int32(n), rep),
+        mesh=mesh, backend=backend, k=k, m_max=m_max, w=w, halo=m_max,
         interpret=scanner.config.interpret,
     )
-    return np.asarray(counts)
+    return np.asarray(dev).astype(np.int64)
 
 
 def count_distributed(scanner: "Scanner", buf: np.ndarray, strategy: str, n_dev: int) -> np.ndarray:

@@ -19,10 +19,13 @@ class ApmConfig:
     # Run the Pallas kernel in interpreter mode (the fake-backend analog of the
     # reference's TESTPERFORMANCE_NO_LEVENSHTEIN stub, utils.c:77-79).
     interpret: bool = False
-    # Windows per kernel block (lane-dim width). Must be a multiple of 128.
-    block_windows: int = 8192
-    # Corpus bytes handed to one jitted chunk invocation (host-side loop unit).
-    chunk_bytes: int = 1 << 22
+    # Windows per kernel block. None = let the planner pick
+    # (apm.parallel.plan.choose_block_windows). Must be a multiple of 1024.
+    block_windows: Optional[int] = None
+    # Corpus bytes handed to one jitted chunk invocation (host-side loop
+    # unit; bounds host staging + device transfer per call and keeps every
+    # chunk the same compiled shape).
+    chunk_bytes: int = 256 << 20
     # Distribution strategy across devices: "auto", "database_over_devices"
     # (shard the window axis, halo + psum — reference strategy B),
     # "patterns_over_devices" (shard the pattern axis — reference strategy A),
@@ -32,6 +35,11 @@ class ApmConfig:
     verbose: bool = False
     # Optional cap on devices used (None = all visible).
     max_devices: Optional[int] = None
+    # Scan each distinct pattern once and expand counts to duplicates.
+    dedup_patterns: bool = True
+    # Keep the staged corpus device-resident between count() calls (keyed by
+    # a content fingerprint) so repeated scans skip host->device transfer.
+    cache_corpus: bool = True
 
     def validate(self) -> "ApmConfig":
         if self.backend not in ("auto", "pallas", "xla"):
@@ -43,6 +51,8 @@ class ApmConfig:
             "patterns_over_devices",
         ):
             raise ValueError(f"unknown strategy {self.strategy!r}")
-        if self.block_windows % 128 != 0 or self.block_windows <= 0:
+        if self.block_windows is not None and (
+            self.block_windows % 128 != 0 or self.block_windows <= 0
+        ):
             raise ValueError("block_windows must be a positive multiple of 128")
         return self

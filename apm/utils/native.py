@@ -66,6 +66,25 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_uint8),
     ]
     lib.apmio_read_range.restype = ctypes.c_int32
+    lib.apmio_fold.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
+    lib.apmio_fold.restype = ctypes.c_int32
+    lib.apmio_read_folded.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
+    lib.apmio_read_folded.restype = ctypes.c_int32
     _lib = lib
     return _lib
 
@@ -106,6 +125,46 @@ def read_range(path: str, start: int, length: int) -> np.ndarray:
     )
     if rc != 0:
         raise IOError(f"apmio_read_range failed for {path} [{start}, {start + length})")
+    return out
+
+
+def fold(buf: np.ndarray, offset: int, n_rows: int, wf: int, halo: int) -> np.ndarray:
+    """Stage ``buf`` into folded ``(n_rows, wf + halo)`` rows (see apmio_fold)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native apmio library not available")
+    buf = np.ascontiguousarray(buf, dtype=np.uint8)
+    out = np.empty((n_rows, wf + halo), dtype=np.uint8)
+    rc = lib.apmio_fold(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        len(buf),
+        offset,
+        n_rows,
+        wf,
+        halo,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    if rc != 0:
+        raise ValueError("apmio_fold failed")
+    return out
+
+
+def read_folded(path: str, offset: int, n_rows: int, wf: int, halo: int) -> np.ndarray:
+    """Read folded staging rows straight from a file (no whole-file slurp)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native apmio library not available")
+    out = np.empty((n_rows, wf + halo), dtype=np.uint8)
+    rc = lib.apmio_read_folded(
+        path.encode(),
+        offset,
+        n_rows,
+        wf,
+        halo,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    if rc != 0:
+        raise IOError(f"apmio_read_folded failed for {path}")
     return out
 
 

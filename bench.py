@@ -57,6 +57,26 @@ def main() -> int:
     n = len(corpus)
     mbps = n / best / 1e6
     ref_mbps = n / 3.89 / 1e6  # reference best: 3.89 s on 3 nodes + GPUs
+
+    # Steady-state kernel throughput on a 64 MB synthetic corpus (same 6
+    # patterns, k=0): the tunnel's fixed per-call latency is amortized, so
+    # this is close to the chip's actual scan rate.
+    big_mbps = 0.0
+    try:
+        rng = np.random.default_rng(0)
+        alpha = np.frombuffer(b"ACGT\n", dtype=np.uint8)
+        syn = alpha[rng.integers(0, 5, size=64 << 20)]
+        sc_big = apm.Scanner(pats, k=0)
+        sc_big.count(syn)
+        tt = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            sc_big.count(syn)
+            tt.append(time.perf_counter() - t0)
+        big_mbps = len(syn) / min(tt) / 1e6
+    except Exception:
+        pass
+
     print(
         json.dumps(
             {
@@ -64,6 +84,7 @@ def main() -> int:
                 "value": round(mbps, 3),
                 "unit": "MB/s",
                 "vs_baseline": round(mbps / ref_mbps, 2),
+                "steady_state_64mb_mb_per_s": round(big_mbps, 1),
             }
         )
     )

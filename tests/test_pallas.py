@@ -10,14 +10,25 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from apm.ops.common import pad_corpus, round_up
-from apm.ops.pallas_kernel import scan_corpus_pallas
+from apm.models.scanner import Scanner
+from apm.ops.common import fold_corpus, round_up
+from apm.ops.pallas_kernel import FOLD, scan_folded_pallas
+from apm.utils.config import ApmConfig
 from apm.utils.io import PatternSet
-from apm.utils.oracle import as_u8, count_matches
+from apm.utils.oracle import as_u8, banded_distances, count_matches
 from tests.conftest import random_dna
 
 
-def pallas_counts(corpus, patterns, k, w=512, start=0, n_override=None):
+def pallas_counts(corpus, patterns, k, w=1024):
+    """Full scan semantics via the Scanner (device part + host tail)."""
+    cfg = ApmConfig(
+        backend="pallas", interpret=True, strategy="single", block_windows=w
+    )
+    return Scanner(patterns, k, cfg).count(as_u8(corpus)).tolist()
+
+
+def kernel_counts(corpus, patterns, k, wf, bound, start=0):
+    """Raw kernel invocation: untruncated windows in [start, bound) only."""
     ps = PatternSet.from_patterns(patterns)
     pat, plen = ps.packed(k)
     p_pad = max(8, round_up(ps.num_patterns, 8))
@@ -26,20 +37,20 @@ def pallas_counts(corpus, patterns, k, w=512, start=0, n_override=None):
     plen2 = np.zeros((p_pad,), np.int32)
     plen2[: plen.shape[0]] = plen
     buf = as_u8(corpus)
-    n = len(buf) if n_override is None else n_override
     m_max = ps.max_len
     halo = round_up(m_max, 128)
-    n_pad = max(round_up(max(n - k - start, 0), w), w)
-    padded = pad_corpus(buf, n_pad, halo)
-    out = scan_corpus_pallas(
-        jnp.asarray(padded),
+    nw = max(bound - start, 0)
+    n_rows = max(FOLD, round_up(-(-nw // wf), FOLD))
+    rows = fold_corpus(buf, start, n_rows, wf, halo)
+    out = scan_folded_pallas(
+        jnp.asarray(rows),
         jnp.asarray(pat2),
         jnp.asarray(plen2),
-        jnp.asarray(n, jnp.int32),
+        jnp.asarray(bound, jnp.int32),
         jnp.asarray(start, jnp.int32),
         k=k,
         m_max=m_max,
-        w=w,
+        wf=wf,
         halo=halo,
         interpret=True,
     )
@@ -54,73 +65,80 @@ def test_pallas_random_vs_oracle(k):
 
 
 def test_pallas_easy():
-    assert pallas_counts(b"123123123456456", [b"123", b"456", b"78934"], 0, w=128) == [3, 2, 0]
+    assert pallas_counts(b"123123123456456", [b"123", b"456", b"78934"], 0) == [3, 2, 0]
 
 
 def test_pallas_x100_k0_readme(x100, pattern_20783, pattern_nonexistent):
     pats = [pattern_nonexistent] + [pattern_20783] * 5
-    assert pallas_counts(x100, pats, 0, w=4096) == [0, 4, 4, 4, 4, 4]
+    assert pallas_counts(x100, pats, 0, w=8192) == [0, 4, 4, 4, 4, 4]
 
 
 @pytest.mark.parametrize("k", [0, 1, 3])
 def test_pallas_eof_truncation(k):
+    """Device bound + host tail must reproduce the EOF truncation quirk."""
     corpus = random_dna(300, seed=99, alphabet=b"AB")
     pats = [random_dna(50, seed=1, alphabet=b"AB"), b"AB"]
-    assert pallas_counts(corpus, pats, k, w=128) == count_matches(corpus, pats, k)
+    assert pallas_counts(corpus, pats, k) == count_matches(corpus, pats, k)
 
 
 def test_pallas_block_width_invariance():
-    corpus = random_dna(900, seed=3)
+    corpus = random_dna(9000, seed=3)
     pats = [random_dna(20, seed=4), random_dna(5, seed=5)]
     want = count_matches(corpus, pats, 2)
-    for w in [128, 256, 512]:
+    for w in [1024, 2048, 4096]:
         assert pallas_counts(corpus, pats, 2, w=w) == want
 
 
-def test_pallas_start_offset():
-    """Global start offset: a tail shard counts exactly the tail windows."""
-    from apm.utils.oracle import banded_distances
+def test_pallas_k_exceeds_pattern_len():
+    """k >= m: every window within the bound matches."""
+    corpus = random_dna(500, seed=8)
+    pats = [b"ACG"]
+    assert pallas_counts(corpus, pats, 5) == count_matches(corpus, pats, 5)
 
+
+def test_pallas_corpus_shorter_than_pattern():
+    corpus = b"ACGTACGT"
+    pats = [random_dna(50, seed=2), b"ACGT"]
+    for k in [0, 2]:
+        assert pallas_counts(corpus, pats, k) == count_matches(corpus, pats, k)
+
+
+def test_dedup_patterns_expansion():
+    """Duplicate patterns share one scan; expanded counts match the oracle."""
+    corpus = random_dna(1500, seed=44)
+    a, b = random_dna(20, seed=45), random_dna(7, seed=46)
+    pats = [a, b, a, a, b]
+    for dedup in (True, False):
+        cfg = ApmConfig(
+            backend="pallas", interpret=True, strategy="single",
+            block_windows=1024, dedup_patterns=dedup,
+        )
+        sc = Scanner(pats, 1, cfg)
+        assert sc.count(corpus).tolist() == count_matches(corpus, pats, 1)
+        if dedup:
+            assert sc.scan_patterns.num_patterns == 2
+
+
+def test_kernel_start_offset():
+    """Global start offset: a tail shard counts exactly its own windows."""
     corpus = random_dna(600, seed=11)
     pats = [random_dna(10, seed=12)]
     k = 1
     start = 256
+    bound = len(corpus) - 10 + 1  # untruncated windows only
     dists = banded_distances(corpus, pats[0], k)
-    want_tail = int(np.sum(dists[start:] <= k))
-    tail = pallas_counts(
-        corpus[start:], pats, k, w=128, start=start, n_override=len(corpus)
-    )
-    assert tail[0] == want_tail
+    want = int(np.sum(dists[start:bound] <= k))
+    assert kernel_counts(corpus, pats, k, wf=128, bound=bound, start=start) == [want]
 
 
-def test_pallas_shard_decomposition():
-    """Two shards with correct ownership must sum to the full count."""
-    corpus = random_dna(700, seed=21)
+def test_kernel_shard_decomposition():
+    """Two shards with exact ownership must sum to the full device count."""
+    corpus = random_dna(4000, seed=21)
     pats = [random_dna(12, seed=22), random_dna(30, seed=23)]
     k = 2
-    full = count_matches(corpus, pats, k)
-    s = 384  # windows owned by shard 0
-    m_max = 30
-    halo = round_up(m_max, 128)
-    shard0 = corpus[: s + halo]
-    shard1 = corpus[s:]
-    c0 = pallas_counts(shard0, pats, k, w=128, start=0, n_override=len(corpus))
-    c1 = pallas_counts(shard1, pats, k, w=128, start=s, n_override=len(corpus))
-    # shard0 scans windows [0, s) only if we clamp... window validity comes
-    # from n - k, so shard0 must be fed exactly s padded windows:
-    ps = PatternSet.from_patterns(pats)
-    pat, plen = ps.packed(k)
-    p_pad = 8
-    pat2 = np.zeros((p_pad, pat.shape[1]), np.uint8)
-    pat2[: pat.shape[0]] = pat
-    plen2 = np.zeros((p_pad,), np.int32)
-    plen2[: plen.shape[0]] = plen
-    padded0 = np.zeros(s + halo, np.uint8)
-    padded0[: len(shard0)] = shard0
-    out0 = scan_corpus_pallas(
-        jnp.asarray(padded0), jnp.asarray(pat2), jnp.asarray(plen2),
-        jnp.asarray(len(corpus), jnp.int32), jnp.asarray(0, jnp.int32),
-        k=k, m_max=m_max, w=128, halo=halo, interpret=True,
-    )
-    got = [int(a + b) for a, b in zip(np.asarray(out0)[:2], c1)]
-    assert got == full
+    bound = len(corpus) - 30 + 1
+    full = kernel_counts(corpus, pats, k, wf=128, bound=bound, start=0)
+    s = 2048  # shard boundary (multiple of FOLD * wf)
+    c0 = kernel_counts(corpus, pats, k, wf=128, bound=min(s, bound), start=0)
+    c1 = kernel_counts(corpus, pats, k, wf=128, bound=bound, start=s)
+    assert [a + b for a, b in zip(c0, c1)] == full

@@ -86,6 +86,25 @@ def test_shard_count_invariance():
         assert got.tolist() == want, n_dev
 
 
+@pytest.mark.parametrize(
+    "strategy", ["database_over_devices", "patterns_over_devices"]
+)
+def test_pallas_backend_sharded(strategy):
+    """Pallas kernel (interpret) under shard_map matches the oracle."""
+    corpus = random_dna(6000, seed=31)
+    pats = [random_dna(m, seed=90 + m) for m in [10, 33, 50]]
+    k = 1
+    cfg = ApmConfig(
+        backend="pallas",
+        interpret=True,
+        strategy=strategy,
+        block_windows=1024,
+        max_devices=4,
+    )
+    got = Scanner(pats, k, cfg).count(corpus)
+    assert got.tolist() == count_matches(corpus, pats, k)
+
+
 def test_auto_strategy_picks_and_matches():
     corpus = random_dna(3000, seed=19)
     pats = [random_dna(25, seed=20)]
