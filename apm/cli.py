@@ -27,9 +27,8 @@ from __future__ import annotations
 import sys
 from typing import List, Optional
 
-from .models.scanner import Scanner
-from .utils.config import ApmConfig
-from .utils.io import read_input_file
+# NB: jax-importing modules are imported lazily inside main() so that
+# usage errors and --help paths don't pay the runtime-startup cost.
 
 _STRATEGY_WORDS = {
     "DB_OVER_RANKS": "database_over_devices",
@@ -50,6 +49,29 @@ def _usage(prog: str) -> str:
 def main(argv: Optional[List[str]] = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     prog = "apm"
+
+    if len(argv) < 3:
+        sys.stdout.write(_usage(prog))
+        return 1
+
+    import os
+
+    # Honor JAX_PLATFORMS even on images whose TPU plugin wins the backend
+    # election, and keep a persistent compile cache across invocations.
+    import jax
+
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat and "," not in plat:
+        jax.config.update("jax_platforms", plat)
+    cache_dir = os.environ.get(
+        "APM_COMPILE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "apm_jax"),
+    )
+    if cache_dir:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from .utils.config import ApmConfig
 
     # config-flag tier (replaces the reference's -D compile-time flags)
     cfg = ApmConfig()
@@ -119,11 +141,15 @@ def main(argv: Optional[List[str]] = None) -> int:
         f"w/ distance of {approx_factor}\n"
     )
 
+    from .utils.io import read_input_file
+
     try:
         buf = read_input_file(filename)
     except (OSError, FileNotFoundError):
         sys.stderr.write(f"Unable to open the file {filename}\n")
         return 1
+
+    from .models.scanner import Scanner
 
     scanner = Scanner(patterns, approx_factor, cfg)
     counts = scanner.count(buf)

@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Parameterized benchmark sweep — the analog of the reference's 104 SLURM
+batch scripts (``scripts/{medium,big,gpu}/N*_n*_omp*.batch``), collapsed
+into one parameterized driver.
+
+Each point measures warm end-to-end Scanner throughput for a
+(corpus, #patterns, k, strategy) combination and emits one JSON line; a
+summary table prints at the end.
+
+Usage::
+
+    python bench/sweep.py                  # default grid on the real device
+    python bench/sweep.py --quick          # tiny grid (CI smoke)
+    JAX_PLATFORMS=cpu python bench/sweep.py --quick   # portable
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true", help="tiny grid")
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--out", default=None, help="write JSONL to this path")
+    args = ap.parse_args()
+
+    import jax
+
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat and "," not in plat:
+        jax.config.update("jax_platforms", plat)
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("APM_COMPILE_CACHE", "/root/repo/.jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import numpy as np
+
+    import apm
+    from apm.utils.config import ApmConfig
+    from apm.utils.oracle import count_matches
+
+    rng = np.random.default_rng(0)
+    alpha = np.frombuffer(b"ACGT\n", dtype=np.uint8)
+
+    dna = "/root/reference/dna"
+    corpora = {}
+    if os.path.isdir(dna):
+        corpora["medium"] = apm.read_input_file(
+            os.path.join(dna, "small_chrY_medium.fa")
+        )
+        corpora["big"] = apm.read_input_file(
+            os.path.join(dna, "small_chrY_bigger.fa")
+        )
+    if not args.quick:
+        corpora["synth64M"] = alpha[rng.integers(0, 5, size=64 << 20)]
+    else:
+        corpora = {"synth1M": alpha[rng.integers(0, 5, size=1 << 20)]}
+
+    def mk_patterns(count):
+        return [alpha[rng.integers(0, 5, size=50)] for _ in range(count)]
+
+    grid_pat = [1, 8] if args.quick else [1, 6, 8]
+    grid_k = [0, 1] if args.quick else [0, 1, 4]
+    backend = "xla" if jax.devices()[0].platform == "cpu" else "pallas"
+
+    results = []
+    out_f = open(args.out, "w") if args.out else None
+    for cname, corpus in corpora.items():
+        for np_ in grid_pat:
+            pats = mk_patterns(np_)
+            for k in grid_k:
+                cfg = ApmConfig(backend=backend)
+                sc = apm.Scanner(pats, k, cfg)
+                counts = sc.count(corpus)  # compile + warm cache
+                if len(corpus) <= (2 << 20):
+                    assert counts.tolist() == count_matches(corpus, pats, k)
+                ts = []
+                for _ in range(args.reps):
+                    t0 = time.perf_counter()
+                    sc.count(corpus)
+                    ts.append(time.perf_counter() - t0)
+                best = min(ts)
+                rec = {
+                    "corpus": cname,
+                    "bytes": len(corpus),
+                    "patterns": np_,
+                    "k": k,
+                    "backend": backend,
+                    "seconds": round(best, 5),
+                    "mb_per_s": round(len(corpus) / best / 1e6, 2),
+                }
+                results.append(rec)
+                line = json.dumps(rec)
+                print(line, flush=True)
+                if out_f:
+                    out_f.write(line + "\n")
+    if out_f:
+        out_f.close()
+
+    print("\n| corpus | bytes | P | k | MB/s |")
+    print("|---|---|---|---|---|")
+    for r in results:
+        print(
+            f"| {r['corpus']} | {r['bytes']} | {r['patterns']} | {r['k']} "
+            f"| {r['mb_per_s']} |"
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
