@@ -151,10 +151,14 @@ class Scanner:
         backend = self._resolve_backend()
         w = self.block_windows_for(n)
         if backend == "pallas":
-            from ..ops.pallas_kernel import FOLD, scan_folded_pallas_unrolled
+            from ..ops.pallas_kernel import (
+                _DTYPE_FOLD,
+                scan_folded_pallas_unrolled,
+            )
 
-            w = round_up(w, FOLD * 128)  # folded layout needs 128-lane rows
-            wf = w // FOLD
+            fold = _DTYPE_FOLD[self.config.dp_dtype]
+            w = round_up(w, fold * 128)  # folded layout needs 128-lane rows
+            wf = w // fold
             halo = round_up(self.m_max, 128)
             dev_bound = self.device_window_bound(n)
             p_pad = self._pat.shape[0]
@@ -191,6 +195,7 @@ class Scanner:
                     wf=wf,
                     halo=halo,
                     plens=self._plens_static,
+                    dp_dtype=self.config.dp_dtype,
                     interpret=self.config.interpret,
                 )
                 counts += np.asarray(dev)

@@ -144,13 +144,15 @@ def _scan_kernel(
 def _scan_kernel_unrolled(
     meta_ref,  # SMEM (1, 2) int32 — [window bound (global), global start]
     pchar_ref,  # SMEM (P, m_max + 2k) int32 — k-padded pattern chars
-    corpus_ref,  # VMEM (FOLD, wf + halo) uint8 — this block's text rows
-    out_ref,  # VMEM (P * FOLD, 1) int32 — per-row match counts
+    corpus_ref,  # VMEM (fold, wf + halo) uint8 — this block's text rows
+    out_ref,  # VMEM (P * fold, 1) int32 — per-row match counts
     *,
     k: int,
     m_max: int,
     wf: int,
     plens: tuple,  # static per-pattern lengths (0 = padding row, skipped)
+    fold: int,  # window-axis fold onto sublanes (8/16/32 for i32/i16/i8)
+    dtype,  # DP cell dtype: jnp.int32 / jnp.int16 / jnp.int8
 ):
     """Pattern-unrolled, length-segmented variant.
 
@@ -162,12 +164,28 @@ def _scan_kernel_unrolled(
     finished patterns' ``D[m][m]`` is captured as a trace-time binding (zero
     select ops) and those patterns drop out of the carry. The first
     ``min(k, m_max)`` steps are Python-unrolled so the ``D[x][0] = x``
-    boundary column resolves statically. Only the small ``(FOLD, wf+halo)``
-    text tile rolls one lane per step.
+    boundary column resolves statically. Only the small ``(fold, wf+halo)``
+    text tile rolls one lane per step — it stays int32 (Mosaic's lane
+    rotation is 32-bit only) and is narrowed to ``dtype`` once per step,
+    shared by every pattern's compare.
+
+    Narrow DP dtypes double/quadruple VPU element throughput: ``fold`` must
+    match the dtype's sublane tile (8/16/32) so every vreg stays dense.
+    int8 cells re-enable clamping at ``cap = k + 1`` (which preserves the
+    ``<= k`` verdict exactly — min-plus clamping commutes) to stay in
+    range; wider dtypes use an additive-safe INF and need no per-op clamp.
     """
     i = pl.program_id(0)
     p = len(plens)
-    w = FOLD * wf
+    w = fold * wf
+    clamp = dtype == jnp.int8
+    cap = k + 1
+    if dtype == jnp.int32:
+        inf_val = INF
+    elif dtype == jnp.int16:
+        inf_val = 16000  # + m_max growth stays far below int16 max
+    else:
+        inf_val = cap  # clamped domain: cap already means "> k"
     active = sorted({m for m in plens if m > 0})
     if not active:
         out_ref[:] = jnp.zeros_like(out_ref)
@@ -178,20 +196,21 @@ def _scan_kernel_unrolled(
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    text0 = corpus_ref[:].astype(jnp.int32)  # (FOLD, wpf)
+    text0 = corpus_ref[:].astype(jnp.int32)  # (fold, wpf)
 
     bound = meta_ref[0, 0]
     start = meta_ref[0, 1]
     win = (
-        jax.lax.broadcasted_iota(jnp.int32, (FOLD, wf), 0) * wf
-        + jax.lax.broadcasted_iota(jnp.int32, (FOLD, wf), 1)
+        jax.lax.broadcasted_iota(jnp.int32, (fold, wf), 0) * wf
+        + jax.lax.broadcasted_iota(jnp.int32, (fold, wf), 1)
         + (i * w + start)
     )
-    valid = win < bound  # (FOLD, wf)
+    valid = win < bound  # (fold, wf)
 
-    full = lambda v: jnp.full((FOLD, wf), jnp.int32(v), jnp.int32)
+    full = lambda v: jnp.full((fold, wf), v, dtype)
+    one = jnp.asarray(1, dtype)
 
-    def dp_step(band, tx, pi, x, static_x):
+    def dp_step(band, txd, pi, x, static_x):
         """Advance pattern pi's band by one DP step (x traced or static)."""
         new = []
         prev = None
@@ -202,19 +221,26 @@ def _scan_kernel_unrolled(
             elif static_x is not None and static_x + d < 0:
                 val = None
             else:
-                c = (tx != pchar_ref[pi, x - 1 + d + k]).astype(jnp.int32)
+                pc = pchar_ref[pi, x - 1 + d + k].astype(dtype)
+                c = (txd != pc).astype(dtype)
                 val = None
                 if band[di] is not None:
                     val = band[di] + c  # substitution
                 if d < k and band[di + 1] is not None:
-                    dele = band[di + 1] + 1
+                    dele = band[di + 1] + one
                     val = dele if val is None else jnp.minimum(val, dele)
                 if prev is not None:
-                    ins = prev + 1
+                    ins = prev + one
                     val = ins if val is None else jnp.minimum(val, ins)
+                if clamp and val is not None:
+                    val = jnp.minimum(val, jnp.asarray(cap, dtype))
             new.append(val)
             prev = val
         return new
+
+    def narrow(text):
+        tx = text[:, :wf]
+        return tx if dtype == jnp.int32 else tx.astype(dtype)
 
     # Per-pattern band state, indexed by pattern slot. Row x=0: D[0][y] = y.
     bands = {
@@ -231,10 +257,10 @@ def _scan_kernel_unrolled(
     # Phase 1: boundary steps, Python-unrolled (x <= k).
     x_static_top = min(k, m_top)
     for x in range(1, x_static_top + 1):
-        tx = text[:, :wf]
+        txd = narrow(text)
         for pi, m in enumerate(plens):
             if m > 0 and x <= m:
-                bands[pi] = dp_step(bands[pi], tx, pi, x, x)
+                bands[pi] = dp_step(bands[pi], txd, pi, x, x)
                 if x == m:
                     res[pi] = bands[pi][k]
         text = pltpu.roll(text, shift=text.shape[1] - 1, axis=1)
@@ -249,15 +275,15 @@ def _scan_kernel_unrolled(
         # Materialize any remaining None cells (unreachable garbage lanes
         # feed only higher garbage lanes — see module docstring).
         carry_bands = tuple(
-            tuple(b if b is not None else full(INF) for b in bands[pi])
+            tuple(b if b is not None else full(inf_val) for b in bands[pi])
             for pi in live
         )
 
         def body(x, carry):
             text, cb = carry
-            tx = text[:, :wf]
+            txd = narrow(text)
             new_cb = tuple(
-                tuple(dp_step(list(cb[j]), tx, pi, x, None))
+                tuple(dp_step(list(cb[j]), txd, pi, x, None))
                 for j, pi in enumerate(live)
             )
             text = pltpu.roll(text, shift=text.shape[1] - 1, axis=1)
@@ -276,14 +302,19 @@ def _scan_kernel_unrolled(
         if m == 0:
             continue
         hits = jnp.logical_and(res[pi] <= k, valid)
-        out_ref[pl.ds(pi * FOLD, FOLD), :] += jnp.sum(
+        out_ref[pl.ds(pi * fold, fold), :] += jnp.sum(
             hits.astype(jnp.int32), axis=1, keepdims=True
         )
 
 
+_DTYPE_FOLD = {"int32": 8, "int16": 16, "int8": 32}
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "m_max", "wf", "halo", "plens", "interpret"),
+    static_argnames=(
+        "k", "m_max", "wf", "halo", "plens", "dp_dtype", "interpret"
+    ),
 )
 def scan_folded_pallas_unrolled(
     corpus_rows: jax.Array,  # (R, wf + halo) uint8 — folded corpus rows
@@ -296,17 +327,22 @@ def scan_folded_pallas_unrolled(
     wf: int,
     halo: int,
     plens: tuple,  # static per-pattern lengths
+    dp_dtype: str = "int32",  # DP cell dtype: int32 / int16 / int8
     interpret: bool = False,
 ) -> jax.Array:
-    """Fully-unrolled scan. Same contract as :func:`scan_folded_pallas` but
-    pattern lengths are static (one compile per length multiset)."""
+    """Length-segmented scan. Same contract as :func:`scan_folded_pallas`
+    but pattern lengths are static (one compile per length multiset) and
+    the DP cell dtype is selectable (narrower = denser vregs = faster;
+    ``fold`` = rows per block follows the dtype's sublane tile)."""
     p = pat.shape[0]
+    fold = _DTYPE_FOLD[dp_dtype]
+    dtype = jnp.dtype(dp_dtype).type
     r_rows, wpf = corpus_rows.shape
     assert wpf == wf + halo, (wpf, wf, halo)
     assert halo >= m_max - 1, (halo, m_max)
-    assert r_rows % FOLD == 0 and r_rows > 0, r_rows
+    assert r_rows % fold == 0 and r_rows > 0, (r_rows, fold)
     assert len(plens) == p
-    nblk = r_rows // FOLD
+    nblk = r_rows // fold
     bw = 2 * k + 1
 
     pchar = pat.astype(jnp.int32)
@@ -320,30 +356,36 @@ def scan_folded_pallas_unrolled(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # meta
             pl.BlockSpec(memory_space=pltpu.SMEM),  # pattern chars
-            pl.BlockSpec((FOLD, wpf), lambda i: (i, 0)),  # corpus rows
+            pl.BlockSpec((fold, wpf), lambda i: (i, 0)),  # corpus rows
         ],
         out_specs=pl.BlockSpec(
-            (p * FOLD, 1), lambda i: (0, 0), memory_space=pltpu.VMEM
+            (p * fold, 1), lambda i: (0, 0), memory_space=pltpu.VMEM
         ),
     )
 
     counts = pl.pallas_call(
         functools.partial(
-            _scan_kernel_unrolled, k=k, m_max=m_max, wf=wf, plens=plens
+            _scan_kernel_unrolled,
+            k=k,
+            m_max=m_max,
+            wf=wf,
+            plens=plens,
+            fold=fold,
+            dtype=dtype,
         ),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((p * FOLD, 1), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((p * fold, 1), jnp.int32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=nblk * m_max * bw * p * FOLD * wf * 5,
+            flops=nblk * m_max * bw * p * fold * wf * 5,
             bytes_accessed=r_rows * wpf + nblk * p * 4,
             transcendentals=0,
         ),
         interpret=interpret,
     )(meta, pchar, corpus_rows)
-    return jnp.sum(counts.reshape(p, FOLD), axis=1)
+    return jnp.sum(counts.reshape(p, fold), axis=1)
 
 
 @functools.partial(

@@ -79,14 +79,15 @@ def count_multihost(scanner: "Scanner", path: str) -> np.ndarray:
 
     Returns the per-pattern counts (valid on every host; host 0 prints).
     """
-    from ..ops.pallas_kernel import FOLD
+    from ..ops.pallas_kernel import _DTYPE_FOLD
     from ..utils import native
 
     k, m_max = scanner.k, scanner.m_max
     backend = scanner._resolve_backend()
     n = os.path.getsize(path)
-    w = round_up(scanner.block_windows_for(n), FOLD * 128)
-    wf = w // FOLD
+    fold = _DTYPE_FOLD[scanner.config.dp_dtype]
+    w = round_up(scanner.block_windows_for(n), fold * 128)
+    wf = w // fold
     halo = round_up(m_max, 128) if backend == "pallas" else m_max
     dev_bound = scanner.device_window_bound(n)
 
@@ -146,6 +147,7 @@ def count_multihost(scanner: "Scanner", path: str) -> np.ndarray:
             w=wf if backend == "pallas" else w,
             halo=halo,
             plens=scanner._plens_static,
+            dp_dtype=scanner.config.dp_dtype,
             interpret=scanner.config.interpret,
         )
         counts += np.asarray(dev_counts)

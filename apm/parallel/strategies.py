@@ -48,10 +48,11 @@ def _cdiv(a: int, b: int) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "mesh", "backend", "k", "m_max", "w", "halo", "plens", "interpret"
+        "mesh", "backend", "k", "m_max", "w", "halo", "plens", "dp_dtype",
+        "interpret"
     ),
 )
-def _database_sharded(shards, starts, pat, plen, bound, *, mesh, backend, k, m_max, w, halo, plens, interpret):
+def _database_sharded(shards, starts, pat, plen, bound, *, mesh, backend, k, m_max, w, halo, plens, dp_dtype="int32", interpret=False):
     def body(shard, start, pat, plen, bound):
         if backend == "pallas":
             from ..ops.pallas_kernel import scan_folded_pallas_unrolled
@@ -59,7 +60,7 @@ def _database_sharded(shards, starts, pat, plen, bound, *, mesh, backend, k, m_m
             counts = scan_folded_pallas_unrolled(
                 shard[0], pat, bound, start[0],
                 k=k, m_max=m_max, wf=w, halo=halo, plens=plens,
-                interpret=interpret,
+                dp_dtype=dp_dtype, interpret=interpret,
             )
         else:
             from ..ops.xla_engine import scan_corpus_xla
@@ -133,10 +134,11 @@ def count_database_over_devices(scanner: "Scanner", buf: np.ndarray, n_dev: int)
     counts = np.zeros((p_pad,), dtype=np.int64)
 
     if backend == "pallas":
-        from ..ops.pallas_kernel import FOLD
+        from ..ops.pallas_kernel import _DTYPE_FOLD
 
-        w = round_up(w, FOLD * 128)
-        wf = w // FOLD
+        fold = _DTYPE_FOLD[scanner.config.dp_dtype]
+        w = round_up(w, fold * 128)
+        wf = w // fold
         halo = round_up(m_max, 128)
         dev_bound = scanner.device_window_bound(n)
         if dev_bound > 0:
@@ -154,6 +156,7 @@ def count_database_over_devices(scanner: "Scanner", buf: np.ndarray, n_dev: int)
                 jax.device_put(np.int32(dev_bound), rep),
                 mesh=mesh, backend=backend, k=k, m_max=m_max, w=wf, halo=halo,
                 plens=scanner._plens_static,
+                dp_dtype=scanner.config.dp_dtype,
                 interpret=scanner.config.interpret,
             )
             counts += np.asarray(dev)

@@ -37,6 +37,10 @@ class ApmConfig:
     max_devices: Optional[int] = None
     # Scan each distinct pattern once and expand counts to duplicates.
     dedup_patterns: bool = True
+    # DP cell dtype for the Pallas kernel: "int32", "int16", or "int8".
+    # Narrower cells double/quadruple VPU element throughput; the <= k
+    # verdict is exact for all of them (int8 re-enables clamping at k+1).
+    dp_dtype: str = "int32"
     # Keep the staged corpus device-resident between count() calls (keyed by
     # a content fingerprint) so repeated scans skip host->device transfer.
     cache_corpus: bool = True
@@ -51,6 +55,8 @@ class ApmConfig:
             "patterns_over_devices",
         ):
             raise ValueError(f"unknown strategy {self.strategy!r}")
+        if self.dp_dtype not in ("int32", "int16", "int8"):
+            raise ValueError(f"unknown dp_dtype {self.dp_dtype!r}")
         if self.block_windows is not None and (
             self.block_windows % 128 != 0 or self.block_windows <= 0
         ):

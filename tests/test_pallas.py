@@ -19,10 +19,14 @@ from apm.utils.oracle import as_u8, banded_distances, count_matches
 from tests.conftest import random_dna
 
 
-def pallas_counts(corpus, patterns, k, w=1024):
+def pallas_counts(corpus, patterns, k, w=1024, dp_dtype="int32"):
     """Full scan semantics via the Scanner (device part + host tail)."""
     cfg = ApmConfig(
-        backend="pallas", interpret=True, strategy="single", block_windows=w
+        backend="pallas",
+        interpret=True,
+        strategy="single",
+        block_windows=w,
+        dp_dtype=dp_dtype,
     )
     return Scanner(patterns, k, cfg).count(as_u8(corpus)).tolist()
 
@@ -101,6 +105,16 @@ def test_pallas_corpus_shorter_than_pattern():
     pats = [random_dna(50, seed=2), b"ACGT"]
     for k in [0, 2]:
         assert pallas_counts(corpus, pats, k) == count_matches(corpus, pats, k)
+
+
+@pytest.mark.parametrize("dp_dtype", ["int16", "int8"])
+@pytest.mark.parametrize("k", [0, 1, 4])
+def test_pallas_narrow_dtypes(dp_dtype, k):
+    """int16/int8 DP cells: exact <= k verdict (clamping commutes)."""
+    corpus = random_dna(3000, seed=5 * k + 1)
+    pats = [random_dna(m, seed=30 + m) for m in [2, 9, 33, 50]]
+    got = pallas_counts(corpus, pats, k, w=4096, dp_dtype=dp_dtype)
+    assert got == count_matches(corpus, pats, k)
 
 
 def test_dedup_patterns_expansion():
