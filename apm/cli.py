@@ -99,6 +99,12 @@ def main(argv: Optional[List[str]] = None) -> int:
         elif a.startswith("--block-windows="):
             cfg.block_windows = int(a.split("=", 1)[1])
             i += 1
+        elif a == "--engine" and i + 1 < len(argv):
+            cfg.engine = argv[i + 1]
+            i += 2
+        elif a.startswith("--engine="):
+            cfg.engine = a.split("=", 1)[1]
+            i += 1
         elif a == "--interpret":
             cfg.interpret = True
             i += 1

@@ -71,6 +71,11 @@ class Scanner:
         self._plen = np.zeros((p_pad,), dtype=np.int32)
         self._plen[: plen.shape[0]] = plen
         self._plens_static = tuple(int(x) for x in self._plen)
+        # Raw (un-k-padded) table for the filtration kernel.
+        self._pat_raw = np.zeros((p_pad, self.m_max), dtype=np.uint8)
+        self._pat_raw[: self.scan_patterns.num_patterns] = (
+            self.scan_patterns.table
+        )
         self.last_duration: Optional[float] = None
         from ..utils.profiling import Meter
 
@@ -146,62 +151,215 @@ class Scanner:
             self.k,
         )
 
+    def _staged_rows(self, buf, fp, c0, n_rows, wf, halo):
+        """Device-resident folded staging rows for one chunk (cached)."""
+        key = (fp, wf, halo, n_rows, c0)
+        drows = self._dev_cache.get(key) if fp is not None else None
+        if drows is None:
+            drows = jax.numpy.asarray(fold_corpus(buf, c0, n_rows, wf, halo))
+            if fp is not None:
+                self._dev_cache[key] = drows
+        return drows
+
+    def _count_pallas(self, buf: np.ndarray, n: int, w: int) -> np.ndarray:
+        """Single-device Pallas scan: filtration + banded DP, chunked.
+
+        Patterns are partitioned by :func:`apm.ops.filter_kernel.
+        filter_eligible`: eligible ones run the pigeonhole phase-1 kernel
+        (exact counts at k = 0; candidate counts + group map at k >= 1,
+        verified against the oracle per 32-window group), the rest run the
+        banded DP kernel. A density fallback reruns pattern sets whose
+        candidate rate says filtration isn't paying for itself.
+
+        The host-side chunk loop keeps every chunk the same compiled shape
+        (the window bound masks the last chunk's padding), so one jit
+        compilation serves arbitrarily large corpora — and accumulating
+        counts per chunk host-side is checkpoint/resume for free
+        (SURVEY.md §5).
+        """
+        from ..ops.filter_kernel import (
+            FOLD as FILTER_FOLD,
+            filter_eligible,
+            scan_filter_pallas,
+        )
+        from ..ops.pallas_kernel import (
+            _DTYPE_FOLD,
+            scan_folded_pallas_unrolled,
+        )
+
+        k = self.k
+        fold = _DTYPE_FOLD[self.config.dp_dtype]
+        w = round_up(w, max(fold, FILTER_FOLD) * 128)
+        wf = w // fold
+        halo = round_up(self.m_max + 2 * k, 128)
+        dev_bound = self.device_window_bound(n)
+        p_pad = self._pat.shape[0]
+        counts = np.zeros((p_pad,), dtype=np.int64)
+        if dev_bound <= 0:
+            counts[: self.scan_patterns.num_patterns] += self.tail_counts(
+                buf, dev_bound
+            )
+            return counts
+
+        plens = self._plens_static
+        engine = self.config.engine
+        use_filter = engine in ("auto", "filter") and fold == FILTER_FOLD
+        fmask = tuple(
+            use_filter and m > 0 and filter_eligible(m, k) for m in plens
+        )
+        plens_filter = tuple(m if f else 0 for m, f in zip(plens, fmask))
+        plens_dp = tuple(0 if f else m for m, f in zip(plens, fmask))
+
+        chunk_win = max(
+            w, round_up(min(self.config.chunk_bytes, max(dev_bound, 1)), w)
+        )
+        n_rows = chunk_win // wf
+        dpat = jax.numpy.asarray(self._pat)
+        dpat_raw = jax.numpy.asarray(self._pat_raw)
+        dbound = jax.numpy.asarray(dev_bound, dtype=np.int32)
+        fp = self._fingerprint(buf) if self.config.cache_corpus else None
+
+        filt_chunks = []  # (c0, gmap device array)
+        filt_totals = np.zeros((p_pad,), dtype=np.int64)
+        for c0 in range(0, dev_bound, chunk_win):
+            drows = self._staged_rows(buf, fp, c0, n_rows, wf, halo)
+            dc0 = jax.numpy.asarray(c0, dtype=np.int32)
+            if any(plens_dp):
+                dev = scan_folded_pallas_unrolled(
+                    drows, dpat, dbound, dc0,
+                    k=k, m_max=self.m_max, wf=wf, halo=halo,
+                    plens=plens_dp, dp_dtype=self.config.dp_dtype,
+                    interpret=self.config.interpret,
+                )
+                counts += np.asarray(dev)
+            if any(plens_filter):
+                fcnt, rowmap = scan_filter_pallas(
+                    drows, dpat_raw, dbound, dc0,
+                    k=k, m_max=self.m_max, wf=wf, halo=halo,
+                    plens=plens_filter, interpret=self.config.interpret,
+                )
+                fcnt = np.asarray(fcnt)
+                if k == 0:
+                    counts += fcnt  # exact: candidates ARE matches
+                else:
+                    filt_totals += fcnt
+                    filt_chunks.append((c0, rowmap))
+
+        if k > 0 and any(plens_filter):
+            total_cand = int(filt_totals.sum())
+            dense = False
+            if total_cand > 0:
+                # Verification cost scales with hot rows (wf windows each):
+                # fetch the tiny row maps and decide on actual density.
+                filt_chunks = [
+                    (c0, np.asarray(rm)) for c0, rm in filt_chunks
+                ]
+                hot_rows = sum(
+                    int(np.count_nonzero(rm.any(axis=1)))
+                    for _, rm in filt_chunks
+                )
+                dense = hot_rows * wf > max(64 * wf, dev_bound // 20)
+            if dense:
+                # Candidates too dense for targeted verification: rerun
+                # these patterns through the banded kernel (phase 1 cost
+                # ~5% of a DP scan, so the fallback is cheap insurance).
+                for c0 in range(0, dev_bound, chunk_win):
+                    drows = self._staged_rows(buf, fp, c0, n_rows, wf, halo)
+                    dev = scan_folded_pallas_unrolled(
+                        drows, dpat, dbound,
+                        jax.numpy.asarray(c0, dtype=np.int32),
+                        k=k, m_max=self.m_max, wf=wf, halo=halo,
+                        plens=plens_filter, dp_dtype=self.config.dp_dtype,
+                        interpret=self.config.interpret,
+                    )
+                    counts += np.asarray(dev)
+            else:
+                counts += self._verify_candidates(
+                    buf, dev_bound, filt_chunks, filt_totals, fmask,
+                    wf, halo, plens_filter,
+                )
+
+        counts[: self.scan_patterns.num_patterns] += self.tail_counts(
+            buf, dev_bound
+        )
+        return counts
+
+    def _verify_candidates(
+        self,
+        buf,
+        dev_bound,
+        filt_chunks,
+        filt_totals,
+        fmask,
+        wf,
+        halo,
+        plens_filter,
+    ) -> np.ndarray:
+        """Verify candidate windows in the hot staging rows.
+
+        The union of hot rows (across all filtration patterns) is staged as
+        a mini-corpus and run through the banded DP kernel in ONE device
+        call — rows hot only for another pattern contribute zero (no
+        candidates implies no matches), the row-count bucket padding is
+        masked by the window bound, and only the corpus-final clipped row
+        falls back to the NumPy oracle.
+        """
+        from ..ops.pallas_kernel import FOLD, scan_folded_pallas_unrolled
+        from ..utils.oracle import banded_distances
+
+        n = len(buf)
+        k = self.k
+        p_pad = self._pat.shape[0]
+        out = np.zeros((p_pad,), dtype=np.int64)
+
+        hot = set()
+        for c0, rm in filt_chunks:
+            for r in np.nonzero(rm[:, : p_pad].any(axis=1))[0]:
+                hot.add(c0 + int(r) * wf)
+        device_rows = sorted(j0 for j0 in hot if j0 + wf <= dev_bound)
+        clipped_rows = sorted(j0 for j0 in hot if j0 + wf > dev_bound)
+
+        if device_rows:
+            n_hot = len(device_rows)
+            bucket = max(FOLD, round_up(n_hot, 4 * FOLD))
+            stage = np.zeros((bucket, wf + halo), dtype=np.uint8)
+            for i, j0 in enumerate(device_rows):
+                hi = min(n, j0 + wf + halo)
+                stage[i, : hi - j0] = buf[j0:hi]
+            dev = scan_folded_pallas_unrolled(
+                jax.numpy.asarray(stage),
+                jax.numpy.asarray(self._pat),
+                jax.numpy.asarray(n_hot * wf, dtype=np.int32),
+                jax.numpy.asarray(0, dtype=np.int32),
+                k=k,
+                m_max=self.m_max,
+                wf=wf,
+                halo=halo,
+                plens=plens_filter,
+                dp_dtype=self.config.dp_dtype,
+                interpret=self.config.interpret,
+            )
+            out += np.asarray(dev)
+
+        for j0 in clipped_rows:
+            j1 = min(j0 + wf, dev_bound)
+            if j0 >= j1:
+                continue
+            for pi, is_f in enumerate(fmask):
+                if not is_f or filt_totals[pi] == 0:
+                    continue
+                pat = self.scan_patterns.raw[pi]
+                seg = buf[j0 : min(n, j1 + len(pat) - 1 + k)]
+                d = banded_distances(seg, pat, k)
+                out[pi] += int(np.sum(d[: j1 - j0] <= k))
+        return out
+
     def _count_single(self, buf: np.ndarray) -> np.ndarray:
         n = len(buf)
         backend = self._resolve_backend()
         w = self.block_windows_for(n)
         if backend == "pallas":
-            from ..ops.pallas_kernel import (
-                _DTYPE_FOLD,
-                scan_folded_pallas_unrolled,
-            )
-
-            fold = _DTYPE_FOLD[self.config.dp_dtype]
-            w = round_up(w, fold * 128)  # folded layout needs 128-lane rows
-            wf = w // fold
-            halo = round_up(self.m_max, 128)
-            dev_bound = self.device_window_bound(n)
-            p_pad = self._pat.shape[0]
-            counts = np.zeros((p_pad,), dtype=np.int64)
-            # Host-side chunk loop: every chunk is the same compiled shape
-            # (the window-bound masks the last chunk's padding), so one jit
-            # compilation serves arbitrarily large corpora with bounded
-            # staging memory — and accumulating counts per chunk host-side
-            # is checkpoint/resume for free (SURVEY.md §5).
-            chunk_win = max(
-                w, round_up(min(self.config.chunk_bytes, max(dev_bound, 1)), w)
-            )
-            n_rows = chunk_win // wf
-            dpat = jax.numpy.asarray(self._pat)
-            dbound = jax.numpy.asarray(dev_bound, dtype=np.int32)
-            fp = (
-                self._fingerprint(buf) if self.config.cache_corpus else None
-            )
-            for c0 in range(0, dev_bound, chunk_win):
-                key = (fp, wf, halo, chunk_win, c0)
-                drows = self._dev_cache.get(key) if fp is not None else None
-                if drows is None:
-                    rows = fold_corpus(buf, c0, n_rows, wf, halo)
-                    drows = jax.numpy.asarray(rows)
-                    if fp is not None:
-                        self._dev_cache[key] = drows
-                dev = scan_folded_pallas_unrolled(
-                    drows,
-                    dpat,
-                    dbound,
-                    jax.numpy.asarray(c0, dtype=np.int32),
-                    k=self.k,
-                    m_max=self.m_max,
-                    wf=wf,
-                    halo=halo,
-                    plens=self._plens_static,
-                    dp_dtype=self.config.dp_dtype,
-                    interpret=self.config.interpret,
-                )
-                counts += np.asarray(dev)
-            counts[: self.scan_patterns.num_patterns] += self.tail_counts(
-                buf, dev_bound
-            )
+            counts = self._count_pallas(buf, n, w)
         else:
             from ..ops.xla_engine import scan_corpus_xla
 

@@ -1,5 +1,6 @@
-"""Utility layer: I/O, golden oracles, config, timing."""
+"""Utility layer: I/O, golden oracles, config, profiling, corpus tooling."""
 
+from . import corpus, oracle, profiling
 from .config import ApmConfig
 from .io import PatternSet, read_input_file
 from .oracle import (
@@ -11,6 +12,9 @@ from .oracle import (
 )
 
 __all__ = [
+    "corpus",
+    "oracle",
+    "profiling",
     "ApmConfig",
     "PatternSet",
     "read_input_file",

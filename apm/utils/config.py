@@ -37,6 +37,11 @@ class ApmConfig:
     max_devices: Optional[int] = None
     # Scan each distinct pattern once and expand counts to duplicates.
     dedup_patterns: bool = True
+    # Scan engine on the Pallas backend: "auto"/"filter" run the pigeonhole
+    # filtration kernel (exact-piece candidates + targeted verification)
+    # for eligible patterns and the banded DP kernel for the rest; "dp"
+    # forces the banded kernel everywhere.
+    engine: str = "auto"
     # DP cell dtype for the Pallas kernel: "int32", "int16", or "int8".
     # Narrower cells double/quadruple VPU element throughput; the <= k
     # verdict is exact for all of them (int8 re-enables clamping at k+1).
@@ -55,6 +60,8 @@ class ApmConfig:
             "patterns_over_devices",
         ):
             raise ValueError(f"unknown strategy {self.strategy!r}")
+        if self.engine not in ("auto", "dp", "filter"):
+            raise ValueError(f"unknown engine {self.engine!r}")
         if self.dp_dtype not in ("int32", "int16", "int8"):
             raise ValueError(f"unknown dp_dtype {self.dp_dtype!r}")
         if self.block_windows is not None and (

@@ -1,0 +1,112 @@
+"""Pigeonhole filtration engine: conformance + adversarial density tests."""
+
+import numpy as np
+import pytest
+
+from apm.models.scanner import Scanner
+from apm.ops.filter_kernel import filter_eligible, pieces_of, shift_range
+from apm.utils.config import ApmConfig
+from apm.utils.oracle import count_matches
+from tests.conftest import random_dna
+
+
+def counts_with(corpus, pats, k, engine):
+    cfg = ApmConfig(
+        backend="pallas",
+        interpret=True,
+        strategy="single",
+        block_windows=1024,
+        engine=engine,
+    )
+    return Scanner(pats, k, cfg).count(np.asarray(corpus)).tolist()
+
+
+def plant_fuzzy(corpus, pat, k, positions, rng):
+    alpha = np.frombuffer(b"ACGT", np.uint8)
+    for pos in positions:
+        w = pat.copy()
+        for _ in range(k):
+            i = int(rng.integers(0, len(w)))
+            w[i] = alpha[rng.integers(0, 4)]
+        corpus[pos : pos + len(w)] = w
+
+
+@pytest.mark.parametrize("k", [1, 2, 3])
+def test_filter_with_planted_fuzzy_matches(k):
+    rng = np.random.default_rng(7 * k)
+    corpus = random_dna(4000, seed=k, alphabet=b"ACGT").copy()
+    pats = [random_dna(50, seed=100 + k, alphabet=b"ACGT"),
+            random_dna(33, seed=200 + k, alphabet=b"ACGT")]
+    for pat in pats:
+        plant_fuzzy(corpus, pat, k, rng.integers(0, 3800, size=8), rng)
+    want = count_matches(corpus, pats, k)
+    assert counts_with(corpus, pats, k, "auto") == want
+    assert counts_with(corpus, pats, k, "dp") == want
+
+
+def test_filter_dense_fallback():
+    """Low-entropy corpus: everything is a candidate -> DP fallback path."""
+    corpus = np.frombuffer(b"A" * 6000, np.uint8)
+    pats = [np.frombuffer(b"A" * 40 + b"C" * 10, np.uint8)]
+    k = 2
+    want = count_matches(corpus, pats, k)
+    assert counts_with(corpus, pats, k, "auto") == want
+
+
+def test_filter_boundary_straddling():
+    """Fuzzy matches planted across every fold-row boundary (wf=128)."""
+    rng = np.random.default_rng(3)
+    corpus = random_dna(4096, seed=9, alphabet=b"ACGT").copy()
+    pat = random_dna(50, seed=10, alphabet=b"ACGT")
+    k = 2
+    positions = [r * 128 - 25 for r in range(1, 30)]
+    plant_fuzzy(corpus, pat, k, positions, rng)
+    want = count_matches(corpus, [pat], k)
+    assert counts_with(corpus, [pat], k, "auto") == want
+
+
+def test_filter_mixed_eligibility():
+    """Short patterns route to DP, long ones to filtration, in one scan."""
+    corpus = random_dna(3000, seed=21)
+    pats = [b"ACG", random_dna(50, seed=22), b"ACGTACGT"]
+    k = 1
+    assert counts_with(corpus, pats, k, "auto") == count_matches(corpus, pats, k)
+
+
+def test_filter_k0_exact():
+    corpus = random_dna(3000, seed=31).copy()
+    pat = random_dna(30, seed=32)
+    for pos in [100, 1000, 2500]:
+        corpus[pos : pos + 30] = pat
+    assert counts_with(corpus, [pat], 0, "filter") == count_matches(corpus, [pat], 0)
+
+
+# -- static helpers -----------------------------------------------------------
+
+
+def test_pieces_partition():
+    for m in [9, 10, 33, 50]:
+        for k in [0, 1, 2, 4]:
+            tab = pieces_of(m, k)
+            assert len(tab) == k + 1
+            assert tab[0][0] == 0
+            assert sum(li for _, li in tab) == m
+            for (o1, l1), (o2, _) in zip(tab, tab[1:]):
+                assert o1 + l1 == o2
+
+
+def test_shift_ranges_clipped():
+    # piece 0 never shifts left; last piece never shifts right
+    m, k = 50, 3
+    tab = pieces_of(m, k)
+    lo0, _ = shift_range(*tab[0], m, k)
+    _, hiN = shift_range(*tab[-1], m, k)
+    assert lo0 == 0 and hiN == 0
+
+
+def test_eligibility_rules():
+    assert filter_eligible(50, 0)
+    assert filter_eligible(50, 1)
+    assert filter_eligible(50, 4)  # l=10 >= max(4,8)=8
+    assert not filter_eligible(20, 2)  # l=6 < 8
+    assert not filter_eligible(50, 5)  # k > 4

@@ -100,3 +100,29 @@ def test_single_byte_corpus_and_pattern():
     assert count_matches(b"A", [b"A"], 0) == [1]
     assert count_matches(b"B", [b"A"], 0) == [0]
     assert count_matches(b"B", [b"A"], 1) == [0]  # n-k = 0 windows
+
+
+# -- corpus generator utilities ----------------------------------------------
+
+
+def test_corpus_generator_plants():
+    from apm.utils.corpus import (
+        boundary_straddling_corpus,
+        mutate,
+        plant,
+        random_corpus,
+        random_pattern,
+    )
+    from apm.utils.oracle import count_matches
+
+    pat = random_pattern(20, seed=1)
+    corpus = random_corpus(2000, seed=2)
+    plant(corpus, pat, [100, 700, 1500], k=0)
+    assert count_matches(corpus, [pat], 0)[0] >= 3
+
+    w = mutate(pat, 2, seed=3)
+    assert abs(len(w) - len(pat)) <= 2
+
+    corpus2, positions = boundary_straddling_corpus(4000, pat, 512, k=1, seed=4)
+    assert len(positions) >= 6
+    assert count_matches(corpus2, [pat], 1)[0] >= len(positions) - 1
