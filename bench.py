@@ -58,22 +58,23 @@ def main() -> int:
     mbps = n / best / 1e6
     ref_mbps = n / 3.89 / 1e6  # reference best: 3.89 s on 3 nodes + GPUs
 
-    # Steady-state kernel throughput on a 64 MB synthetic corpus (same 6
-    # patterns, k=0): the tunnel's fixed per-call latency is amortized, so
-    # this is close to the chip's actual scan rate.
-    big_mbps = 0.0
+    # Steady-state throughput on a 64 MB synthetic corpus (same 6 patterns):
+    # the link's fixed per-call latency is amortized, so this is close to
+    # the chip's actual scan rate. Measured at k=0 and k=1.
+    steady = {}
     try:
         rng = np.random.default_rng(0)
         alpha = np.frombuffer(b"ACGT\n", dtype=np.uint8)
         syn = alpha[rng.integers(0, 5, size=64 << 20)]
-        sc_big = apm.Scanner(pats, k=0)
-        sc_big.count(syn)
-        tt = []
-        for _ in range(3):
-            t0 = time.perf_counter()
+        for kk in (0, 1):
+            sc_big = apm.Scanner(pats, k=kk)
             sc_big.count(syn)
-            tt.append(time.perf_counter() - t0)
-        big_mbps = len(syn) / min(tt) / 1e6
+            tt = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                sc_big.count(syn)
+                tt.append(time.perf_counter() - t0)
+            steady[kk] = round(len(syn) / min(tt) / 1e6, 1)
     except Exception:
         pass
 
@@ -84,7 +85,8 @@ def main() -> int:
                 "value": round(mbps, 3),
                 "unit": "MB/s",
                 "vs_baseline": round(mbps / ref_mbps, 2),
-                "steady_state_64mb_mb_per_s": round(big_mbps, 1),
+                "steady_state_64mb_k0_mb_per_s": steady.get(0, 0.0),
+                "steady_state_64mb_k1_mb_per_s": steady.get(1, 0.0),
             }
         )
     )
