@@ -179,7 +179,7 @@ class Scanner:
         """
         from ..ops.filter_kernel import (
             FOLD as FILTER_FOLD,
-            filter_eligible,
+            partition_plens,
             scan_filter_pallas,
         )
         from ..ops.pallas_kernel import (
@@ -202,13 +202,8 @@ class Scanner:
             return counts
 
         plens = self._plens_static
-        engine = self.config.engine
-        use_filter = engine in ("auto", "filter") and fold == FILTER_FOLD
-        fmask = tuple(
-            use_filter and m > 0 and filter_eligible(m, k) for m in plens
-        )
-        plens_filter = tuple(m if f else 0 for m, f in zip(plens, fmask))
-        plens_dp = tuple(0 if f else m for m, f in zip(plens, fmask))
+        engine = self.config.engine if fold == FILTER_FOLD else "dp"
+        fmask, plens_filter, plens_dp = partition_plens(plens, k, engine)
 
         chunk_win = max(
             w, round_up(min(self.config.chunk_bytes, max(dev_bound, 1)), w)

@@ -65,6 +65,15 @@ def filter_eligible(m: int, k: int) -> bool:
     return 1 <= k <= 4 and m // (k + 1) >= max(k, 8)
 
 
+def partition_plens(plens: tuple, k: int, engine: str):
+    """Split a static length tuple into (fmask, filtration, banded-DP)."""
+    use = engine in ("auto", "filter")
+    fmask = tuple(use and m > 0 and filter_eligible(m, k) for m in plens)
+    plens_filter = tuple(m if f else 0 for m, f in zip(plens, fmask))
+    plens_dp = tuple(0 if f else m for m, f in zip(plens, fmask))
+    return fmask, plens_filter, plens_dp
+
+
 def _filter_kernel(
     meta_ref,  # SMEM (1, 2) int32 — [window bound (global), global start]
     pchar_ref,  # SMEM (P, m_max) int32 — pattern chars (no k padding)

@@ -81,6 +81,31 @@ def _database_sharded(shards, starts, pat, plen, bound, *, mesh, backend, k, m_m
 
 @functools.partial(
     jax.jit,
+    static_argnames=("mesh", "k", "m_max", "w", "halo", "plens", "interpret"),
+)
+def _filter_sharded(shards, starts, pat_raw, bound, *, mesh, k, m_max, w, halo, plens, interpret=False):
+    """Sharded phase-1 filtration: psum'd totals + per-shard row maps."""
+    from ..ops.filter_kernel import scan_filter_pallas
+
+    def body(shard, start, pat_raw, bound):
+        fcnt, rowmap = scan_filter_pallas(
+            shard[0], pat_raw, bound, start[0],
+            k=k, m_max=m_max, wf=w, halo=halo, plens=plens,
+            interpret=interpret,
+        )
+        return jax.lax.psum(fcnt, "data"), rowmap[None]
+
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P("data", None, None), P("data"), P(None, None), P()),
+        out_specs=(P(None), P("data", None, None)),
+        check_vma=False,
+    )(shards, starts, pat_raw, bound)
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("mesh", "backend", "k", "m_max", "w", "halo", "interpret"),
 )
 def _patterns_sharded(corpus, pat, plen, bound, *, mesh, backend, k, m_max, w, halo, interpret):
@@ -134,13 +159,18 @@ def count_database_over_devices(scanner: "Scanner", buf: np.ndarray, n_dev: int)
     counts = np.zeros((p_pad,), dtype=np.int64)
 
     if backend == "pallas":
+        from ..ops.filter_kernel import FOLD as FILTER_FOLD, partition_plens
         from ..ops.pallas_kernel import _DTYPE_FOLD
 
         fold = _DTYPE_FOLD[scanner.config.dp_dtype]
         w = round_up(w, fold * 128)
         wf = w // fold
-        halo = round_up(m_max, 128)
+        halo = round_up(m_max + 2 * k, 128)
         dev_bound = scanner.device_window_bound(n)
+        engine = scanner.config.engine if fold == FILTER_FOLD else "dp"
+        fmask, plens_filter, plens_dp = partition_plens(
+            scanner._plens_static, k, engine
+        )
         if dev_bound > 0:
             s = max(round_up(_cdiv(dev_bound, n_dev), w), w)
             rows_per = s // wf
@@ -148,18 +178,54 @@ def count_database_over_devices(scanner: "Scanner", buf: np.ndarray, n_dev: int)
                 [fold_corpus(buf, d * s, rows_per, wf, halo) for d in range(n_dev)]
             )
             starts = np.arange(n_dev, dtype=np.int32) * s
-            dev = _database_sharded(
-                jax.device_put(shards, NamedSharding(mesh, P("data", None, None))),
-                jax.device_put(starts, NamedSharding(mesh, P("data"))),
-                dpat,
-                dplen,
-                jax.device_put(np.int32(dev_bound), rep),
-                mesh=mesh, backend=backend, k=k, m_max=m_max, w=wf, halo=halo,
-                plens=scanner._plens_static,
-                dp_dtype=scanner.config.dp_dtype,
-                interpret=scanner.config.interpret,
+            dshards = jax.device_put(
+                shards, NamedSharding(mesh, P("data", None, None))
             )
-            counts += np.asarray(dev)
+            dstarts = jax.device_put(starts, NamedSharding(mesh, P("data")))
+            dbound = jax.device_put(np.int32(dev_bound), rep)
+            if any(plens_dp):
+                dev = _database_sharded(
+                    dshards, dstarts, dpat, dplen, dbound,
+                    mesh=mesh, backend=backend, k=k, m_max=m_max, w=wf,
+                    halo=halo, plens=plens_dp,
+                    dp_dtype=scanner.config.dp_dtype,
+                    interpret=scanner.config.interpret,
+                )
+                counts += np.asarray(dev)
+            if any(plens_filter):
+                dpat_raw = jax.device_put(
+                    scanner._pat_raw, NamedSharding(mesh, P(None, None))
+                )
+                fcnt, rowmaps = _filter_sharded(
+                    dshards, dstarts, dpat_raw, dbound,
+                    mesh=mesh, k=k, m_max=m_max, w=wf, halo=halo,
+                    plens=plens_filter, interpret=scanner.config.interpret,
+                )
+                fcnt = np.asarray(fcnt)
+                if k == 0:
+                    counts += fcnt
+                elif fcnt.sum() > 0:
+                    rm = np.asarray(rowmaps)  # (D, R_s, P)
+                    filt_chunks = [(d * s, rm[d]) for d in range(n_dev)]
+                    hot_rows = sum(
+                        int(np.count_nonzero(r.any(axis=1)))
+                        for _, r in filt_chunks
+                    )
+                    if hot_rows * wf > max(64 * wf, dev_bound // 20):
+                        dev = _database_sharded(
+                            dshards, dstarts, dpat, dplen, dbound,
+                            mesh=mesh, backend=backend, k=k, m_max=m_max,
+                            w=wf, halo=halo, plens=plens_filter,
+                            dp_dtype=scanner.config.dp_dtype,
+                            interpret=scanner.config.interpret,
+                        )
+                        counts += np.asarray(dev)
+                    else:
+                        counts += scanner._verify_candidates(
+                            buf, dev_bound, filt_chunks,
+                            fcnt.astype(np.int64), fmask, wf, halo,
+                            plens_filter,
+                        )
         counts[: scanner.scan_patterns.num_patterns] += scanner.tail_counts(
             buf, dev_bound
         )

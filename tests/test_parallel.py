@@ -86,6 +86,23 @@ def test_shard_count_invariance():
         assert got.tolist() == want, n_dev
 
 
+def test_sharded_filtration_with_plants():
+    """Filtration under shard_map: planted matches recovered exactly."""
+    from apm.utils.corpus import plant, random_corpus, random_pattern
+
+    pat = random_pattern(50, seed=41)
+    corpus = random_corpus(8000, seed=42)
+    plant(corpus, pat, [300, 2100, 5000, 7400], k=2, seed=43)
+    cfg = ApmConfig(
+        backend="pallas", interpret=True, engine="filter",
+        strategy="database_over_devices", block_windows=1024, max_devices=4,
+    )
+    got = Scanner([pat], 2, cfg).count(corpus)
+    want = count_matches(corpus, [pat], 2)
+    assert got.tolist() == want
+    assert want[0] >= 4
+
+
 @pytest.mark.parametrize(
     "strategy", ["database_over_devices", "patterns_over_devices"]
 )
