@@ -126,16 +126,31 @@ class Scanner:
 
         Returned per *scan* (deduplicated) pattern.
         """
-        from ..utils.oracle import count_matches
-
         n = len(buf)
         p = self.scan_patterns.num_patterns
         out = np.zeros((p,), dtype=np.int64)
         if dev_bound >= max(n - self.k, 0):
             return out
-        out[:] = count_matches(
-            buf[dev_bound:], list(self.scan_patterns.raw), self.k
-        )
+        suffix = buf[dev_bound:]
+        nw = max(0, len(suffix) - self.k)
+        try:
+            from ..utils import native
+
+            if native.available():
+                for i, raw in enumerate(self.scan_patterns.raw):
+                    out[i] = native.banded_count(
+                        suffix,
+                        np.frombuffer(raw, np.uint8),
+                        self.k,
+                        nw,
+                        len(suffix),
+                    )
+                return out
+        except Exception:
+            pass
+        from ..utils.oracle import count_matches
+
+        out[:] = count_matches(suffix, list(self.scan_patterns.raw), self.k)
         return out
 
     def block_windows_for(self, n: int) -> int:
@@ -336,6 +351,9 @@ class Scanner:
             )
             out += np.asarray(dev)
 
+        from ..utils import native
+
+        use_native = native.available()
         for j0 in clipped_rows:
             j1 = min(j0 + wf, dev_bound)
             if j0 >= j1:
@@ -345,8 +363,13 @@ class Scanner:
                     continue
                 pat = self.scan_patterns.raw[pi]
                 seg = buf[j0 : min(n, j1 + len(pat) - 1 + k)]
-                d = banded_distances(seg, pat, k)
-                out[pi] += int(np.sum(d[: j1 - j0] <= k))
+                if use_native:
+                    out[pi] += native.banded_count(
+                        seg, np.frombuffer(pat, np.uint8), k, j1 - j0, -1
+                    )
+                else:
+                    d = banded_distances(seg, pat, k)
+                    out[pi] += int(np.sum(d[: j1 - j0] <= k))
         return out
 
     def _count_single(self, buf: np.ndarray) -> np.ndarray:
@@ -373,6 +396,20 @@ class Scanner:
         return np.asarray(counts)
 
     # -- public API ------------------------------------------------------------
+
+    def count_file(self, path) -> np.ndarray:
+        """Scan a corpus file without slurping it into memory.
+
+        The file is memory-mapped read-only; the chunked scan loop then
+        touches pages on demand (the native staging routines memcpy
+        straight out of the mapping), so corpora larger than RAM stream
+        through at page-cache speed. Counts are identical to
+        ``count(read_input_file(path))``.
+        """
+        import os
+
+        buf = np.memmap(os.fspath(path), dtype=np.uint8, mode="r")
+        return self.count(buf)
 
     def count(self, corpus: Bytes) -> np.ndarray:
         """Per-pattern match counts (int64, length = number of patterns)."""

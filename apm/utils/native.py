@@ -85,6 +85,17 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_uint8),
     ]
     lib.apmio_read_folded.restype = ctypes.c_int32
+    lib.apmio_banded_count.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.apmio_banded_count.restype = ctypes.c_int32
     _lib = lib
     return _lib
 
@@ -166,6 +177,41 @@ def read_folded(path: str, offset: int, n_rows: int, wf: int, halo: int) -> np.n
     if rc != 0:
         raise IOError(f"apmio_read_folded failed for {path}")
     return out
+
+
+def banded_count(
+    text: np.ndarray,
+    pattern: np.ndarray,
+    k: int,
+    n_windows: int,
+    truncate_at: int = -1,
+) -> int:
+    """Count windows j in [0, n_windows) with banded distance <= k.
+
+    ``truncate_at >= 0`` enables the reference's EOF prefix truncation with
+    ``size = min(m, truncate_at - j)`` (pass the corpus byte count when the
+    text IS the corpus suffix). Semantics identical to
+    ``apm.utils.oracle.banded_distances`` (tested against it).
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native apmio library not available")
+    text = np.ascontiguousarray(text, dtype=np.uint8)
+    pattern = np.ascontiguousarray(pattern, dtype=np.uint8)
+    out = ctypes.c_int64(0)
+    rc = lib.apmio_banded_count(
+        text.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        len(text),
+        pattern.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        len(pattern),
+        k,
+        n_windows,
+        truncate_at,
+        ctypes.byref(out),
+    )
+    if rc != 0:
+        raise ValueError("apmio_banded_count failed")
+    return int(out.value)
 
 
 if __name__ == "__main__":

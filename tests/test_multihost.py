@@ -60,3 +60,13 @@ def test_multihost_matches_single(corpus_file):
     single = sc.count(data).tolist()
     multi = [int(c) for c in count_multihost(sc, path)[:1]]
     assert multi == single
+
+
+def test_count_file_streams(corpus_file):
+    """count_file (memmap streaming) == count (in-memory slurp)."""
+    path, data = corpus_file
+    pats = [random_dna(20, seed=91), random_dna(50, seed=92)]
+    for backend, interp in [("xla", False), ("pallas", True)]:
+        cfg = ApmConfig(backend=backend, interpret=interp, block_windows=1024)
+        sc = Scanner(pats, 1, cfg)
+        assert sc.count_file(path).tolist() == sc.count(data).tolist()
