@@ -78,6 +78,22 @@ def main() -> int:
     except Exception:
         pass
 
+    # Large-corpus steady state (512 MB, two chunks): per-call overhead
+    # fully amortized — the closest number to the chip's scan rate.
+    big512 = 0.0
+    try:
+        syn512 = alpha[rng.integers(0, 5, size=512 << 20)]
+        sc512 = apm.Scanner(pats, k=0)
+        sc512.count(syn512)
+        tt = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            sc512.count(syn512)
+            tt.append(time.perf_counter() - t0)
+        big512 = round(len(syn512) / min(tt) / 1e6, 1)
+    except Exception:
+        pass
+
     print(
         json.dumps(
             {
@@ -87,6 +103,7 @@ def main() -> int:
                 "vs_baseline": round(mbps / ref_mbps, 2),
                 "steady_state_64mb_k0_mb_per_s": steady.get(0, 0.0),
                 "steady_state_64mb_k1_mb_per_s": steady.get(1, 0.0),
+                "steady_state_512mb_k0_mb_per_s": big512,
             }
         )
     )
