@@ -70,3 +70,30 @@ def test_count_file_streams(corpus_file):
         cfg = ApmConfig(backend=backend, interpret=interp, block_windows=1024)
         sc = Scanner(pats, 1, cfg)
         assert sc.count_file(path).tolist() == sc.count(data).tolist()
+
+
+def test_multihost_filtration_with_plants(corpus_file):
+    """File-backed filtration across the mesh: planted matches recovered."""
+    from apm.utils.corpus import plant, random_pattern
+
+    path, data = corpus_file
+    pat = random_pattern(50, seed=61)
+    mutable = data.copy()
+    plant(mutable, pat, [500, 3000, 6500], k=2, seed=62)
+    import tempfile, os as _os
+
+    with tempfile.NamedTemporaryFile(suffix=".fa", delete=False) as f:
+        f.write(mutable.tobytes())
+        path2 = f.name
+    try:
+        cfg = ApmConfig(
+            backend="pallas", interpret=True, engine="filter",
+            block_windows=1024,
+        )
+        sc = Scanner([pat], 2, cfg)
+        got = [int(c) for c in count_multihost(sc, path2)[:1]]
+        want = count_matches(mutable, [pat], 2)
+        assert got == want
+        assert want[0] >= 3
+    finally:
+        _os.unlink(path2)
