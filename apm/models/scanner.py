@@ -14,7 +14,7 @@ from typing import List, Optional, Sequence, Union
 import jax
 import numpy as np
 
-from ..ops.common import cap_for, fold_corpus, pad_corpus, round_up
+from ..ops.common import fold_corpus, pad_corpus, round_up
 from ..utils.config import ApmConfig
 from ..utils.io import PatternSet
 from ..utils.oracle import Bytes, as_u8

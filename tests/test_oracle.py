@@ -126,3 +126,30 @@ def test_corpus_generator_plants():
     corpus2, positions = boundary_straddling_corpus(4000, pat, 512, k=1, seed=4)
     assert len(positions) >= 6
     assert count_matches(corpus2, [pat], 1)[0] >= len(positions) - 1
+
+
+def test_profiling_utilities():
+    import os
+    import tempfile
+
+    from apm.utils.profiling import Meter, ScanStats, Stopwatch, trace
+
+    s = ScanStats(
+        corpus_bytes=1_000_000, patterns=6, unique_patterns=2, k=0,
+        strategy="single", backend="pallas", block_windows=32768,
+        seconds=0.001,
+    )
+    assert abs(s.mb_per_s - 1000.0) < 1e-6
+    assert "1000000 B" in s.line()
+    m = Meter()
+    m.record(s)
+    m.record(s)
+    assert m.total_bytes == 2_000_000
+    assert m.aggregate_mb_per_s > 0
+    sw = Stopwatch()
+    sw.lap("phase1")
+    assert sw.laps[0][0] == "phase1"
+    with tempfile.TemporaryDirectory() as d:
+        with trace(d):
+            pass  # a real jax trace start/stop cycle
+        assert os.listdir(d)  # trace files were written
