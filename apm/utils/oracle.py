@@ -40,6 +40,12 @@ Bytes = Union[bytes, bytearray, np.ndarray, str]
 def as_u8(data: Bytes) -> np.ndarray:
     """Coerce text/pattern input to a 1-D uint8 byte array (raw bytes)."""
     if isinstance(data, np.ndarray):
+        if data.dtype.kind in ("S", "U"):  # byte/str-typed arrays
+            return np.frombuffer(
+                bytes(data.tobytes()) if data.dtype.kind == "S"
+                else str(data).encode("latin-1"),
+                dtype=np.uint8,
+            )
         return np.ascontiguousarray(data, dtype=np.uint8).ravel()
     if isinstance(data, str):
         data = data.encode("latin-1")

@@ -110,3 +110,40 @@ def test_eligibility_rules():
     assert filter_eligible(50, 4)  # l=10 >= max(4,8)=8
     assert not filter_eligible(20, 2)  # l=6 < 8
     assert not filter_eligible(50, 5)  # k > 4
+
+
+def test_filter_maximal_left_shift_at_row_boundary():
+    """A match whose only certificate is a piece shifted by exactly -k,
+    with the window start on lane 0 of a fold row (the coordinate case
+    the pre-rotated text copy exists for)."""
+    rng = np.random.default_rng(5)
+    alpha = np.frombuffer(b"ACGT", np.uint8)
+    corpus = alpha[rng.integers(0, 4, size=2048)].copy()
+    pat = alpha[rng.integers(0, 4, size=48)]
+    k = 2
+    # windowed text = pattern with its first k chars deleted, plus k junk
+    # chars at the end -> distance <= k via k deletions + k insertions?
+    # Use substitut-free construction: delete first k, append k chars.
+    w = np.concatenate([pat[k:], alpha[rng.integers(0, 4, size=k)]])
+    for j in [128, 256 - 1, 512]:  # lane 0, lane wf-1, lane 0 (wf=128)
+        corpus[j : j + len(w)] = w
+    want = count_matches(corpus, [pat], k)
+    got = counts_with(corpus, [pat], k, "filter")
+    assert got == want
+
+
+@pytest.mark.parametrize("k", [7, 12])
+def test_large_k_dp_only(k):
+    """k beyond filtration eligibility: banded kernel with wide bands."""
+    corpus = random_dna(1200, seed=k)
+    pats = [random_dna(30, seed=k + 1), random_dna(14, seed=k + 2)]
+    assert counts_with(corpus, pats, k, "auto") == count_matches(corpus, pats, k)
+
+
+def test_empty_and_tiny_corpora():
+    pats = [b"ACGT"]
+    for raw in [b"", b"A", b"ACG", b"ACGT"]:
+        corpus = np.frombuffer(raw, np.uint8)
+        for k in [0, 1, 5]:
+            got = counts_with(corpus, pats, k, "auto")
+            assert got == count_matches(corpus, pats, k), (raw, k)
