@@ -147,3 +147,21 @@ def test_empty_and_tiny_corpora():
         for k in [0, 1, 5]:
             got = counts_with(corpus, pats, k, "auto")
             assert got == count_matches(corpus, pats, k), (raw, k)
+
+
+def test_randomized_cross_engine_matrix():
+    """Breadth sweep: random (n, patterns, k) across engines and backends
+    must all agree with the oracle — the run_tests philosophy, randomized."""
+    rng = np.random.default_rng(123)
+    for trial in range(8):
+        n = int(rng.integers(200, 4000))
+        k = int(rng.integers(0, 5))
+        pats = [
+            random_dna(int(rng.integers(1, 55)), seed=1000 + 10 * trial + i)
+            for i in range(int(rng.integers(1, 5)))
+        ]
+        corpus = random_dna(n, seed=2000 + trial)
+        want = count_matches(corpus, pats, k)
+        for engine in ("auto", "dp"):
+            got = counts_with(corpus, pats, k, engine)
+            assert got == want, (trial, n, k, engine)
