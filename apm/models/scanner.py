@@ -166,14 +166,19 @@ class Scanner:
             self.k,
         )
 
+    _DEV_CACHE_MAX = 32  # staged chunks kept device-resident (LRU)
+
     def _staged_rows(self, buf, fp, c0, n_rows, wf, halo):
-        """Device-resident folded staging rows for one chunk (cached)."""
+        """Device-resident folded staging rows for one chunk (LRU-cached)."""
         key = (fp, wf, halo, n_rows, c0)
-        drows = self._dev_cache.get(key) if fp is not None else None
-        if drows is None:
-            drows = jax.numpy.asarray(fold_corpus(buf, c0, n_rows, wf, halo))
-            if fp is not None:
-                self._dev_cache[key] = drows
+        if fp is not None and key in self._dev_cache:
+            self._dev_cache[key] = self._dev_cache.pop(key)  # mark recent
+            return self._dev_cache[key]
+        drows = jax.numpy.asarray(fold_corpus(buf, c0, n_rows, wf, halo))
+        if fp is not None:
+            self._dev_cache[key] = drows
+            while len(self._dev_cache) > self._DEV_CACHE_MAX:
+                self._dev_cache.pop(next(iter(self._dev_cache)))
         return drows
 
     def _count_pallas(self, buf: np.ndarray, n: int, w: int) -> np.ndarray:

@@ -80,7 +80,7 @@ def main() -> int:
                 cfg = ApmConfig(backend=backend)
                 sc = apm.Scanner(pats, k, cfg)
                 counts = sc.count(corpus)  # compile + warm cache
-                if len(corpus) <= (2 << 20):
+                if len(corpus) <= (512 << 10):  # oracle check: small only
                     assert counts.tolist() == count_matches(corpus, pats, k)
                 ts = []
                 for _ in range(args.reps):
@@ -102,6 +102,7 @@ def main() -> int:
                 print(line, flush=True)
                 if out_f:
                     out_f.write(line + "\n")
+                    out_f.flush()
     if out_f:
         out_f.close()
 
