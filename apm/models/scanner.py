@@ -402,6 +402,67 @@ class Scanner:
 
     # -- public API ------------------------------------------------------------
 
+    def warmup(self, corpus_bytes: int) -> None:
+        """Ahead-of-time compile the kernels for a given corpus size.
+
+        First-time compilation of a (k, pattern-length multiset, block
+        width) combination can take minutes on remote-compile setups; call
+        this once at service startup (with the expected corpus size) so
+        the first real scan runs at full speed. Compiles without executing
+        (``jit(...).lower(...).compile()``); results land in the
+        persistent compile cache. No-op on non-Pallas backends.
+        """
+        if self._resolve_backend() != "pallas":
+            return
+        from ..ops.filter_kernel import (
+            FOLD as FILTER_FOLD,
+            partition_plens,
+            scan_filter_pallas,
+        )
+        from ..ops.pallas_kernel import (
+            _DTYPE_FOLD,
+            scan_folded_pallas_unrolled,
+        )
+
+        n = int(corpus_bytes)
+        k = self.k
+        fold = _DTYPE_FOLD[self.config.dp_dtype]
+        w = round_up(
+            self.block_windows_for(n), max(fold, FILTER_FOLD) * 128
+        )
+        wf = w // fold
+        halo = round_up(self.m_max + 2 * k, 128)
+        dev_bound = self.device_window_bound(n)
+        if dev_bound <= 0:
+            return
+        engine = self.config.engine if fold == FILTER_FOLD else "dp"
+        _, plens_filter, plens_dp = partition_plens(
+            self._plens_static, k, engine
+        )
+        chunk_win = max(
+            w, round_up(min(self.config.chunk_bytes, dev_bound), w)
+        )
+        n_rows = chunk_win // wf
+        s32 = jax.ShapeDtypeStruct((), jax.numpy.int32)
+        rows = jax.ShapeDtypeStruct((n_rows, wf + halo), jax.numpy.uint8)
+        if any(plens_dp):
+            scan_folded_pallas_unrolled.lower(
+                rows,
+                jax.ShapeDtypeStruct(self._pat.shape, jax.numpy.uint8),
+                s32, s32,
+                k=k, m_max=self.m_max, wf=wf, halo=halo, plens=plens_dp,
+                dp_dtype=self.config.dp_dtype,
+                interpret=self.config.interpret,
+            ).compile()
+        if any(plens_filter):
+            scan_filter_pallas.lower(
+                rows,
+                jax.ShapeDtypeStruct(self._pat_raw.shape, jax.numpy.uint8),
+                s32, s32,
+                k=k, m_max=self.m_max, wf=wf, halo=halo,
+                plens=plens_filter, interpret=self.config.interpret,
+            ).compile()
+
     def count_file(self, path) -> np.ndarray:
         """Scan a corpus file without slurping it into memory.
 

@@ -156,3 +156,13 @@ def test_kernel_shard_decomposition():
     c0 = kernel_counts(corpus, pats, k, wf=128, bound=min(s, bound), start=0)
     c1 = kernel_counts(corpus, pats, k, wf=128, bound=bound, start=s)
     assert [a + b for a, b in zip(c0, c1)] == full
+
+
+def test_warmup_compiles_then_counts():
+    """warmup() pre-compiles the exact shapes the scan will use."""
+    corpus = random_dna(5000, seed=71)
+    pats = [random_dna(50, seed=72), b"ACG"]
+    cfg = ApmConfig(backend="pallas", interpret=True, strategy="single")
+    sc = Scanner(pats, 1, cfg)
+    sc.warmup(len(corpus))
+    assert sc.count(corpus).tolist() == count_matches(corpus, pats, 1)
