@@ -408,8 +408,10 @@ class Scanner:
         First-time compilation of a (k, pattern-length multiset, block
         width) combination can take minutes on remote-compile setups; call
         this once at service startup (with the expected corpus size) so
-        the first real scan runs at full speed. Compiles without executing
-        (``jit(...).lower(...).compile()``); results land in the
+        the first real scan runs at full speed. Executes one zero-filled
+        block of the exact shapes the scan will use (some platforms'
+        AOT-lowered executables don't feed the normal dispatch path, so a
+        real execution is the only reliable warm); results land in the
         persistent compile cache. No-op on non-Pallas backends.
         """
         if self._resolve_backend() != "pallas":
@@ -443,25 +445,24 @@ class Scanner:
             w, round_up(min(self.config.chunk_bytes, dev_bound), w)
         )
         n_rows = chunk_win // wf
-        s32 = jax.ShapeDtypeStruct((), jax.numpy.int32)
-        rows = jax.ShapeDtypeStruct((n_rows, wf + halo), jax.numpy.uint8)
+        zero32 = jax.numpy.asarray(0, jax.numpy.int32)
+        rows = jax.numpy.zeros((n_rows, wf + halo), jax.numpy.uint8)
         if any(plens_dp):
-            scan_folded_pallas_unrolled.lower(
-                rows,
-                jax.ShapeDtypeStruct(self._pat.shape, jax.numpy.uint8),
-                s32, s32,
-                k=k, m_max=self.m_max, wf=wf, halo=halo, plens=plens_dp,
-                dp_dtype=self.config.dp_dtype,
-                interpret=self.config.interpret,
-            ).compile()
+            np.asarray(
+                scan_folded_pallas_unrolled(
+                    rows, jax.numpy.asarray(self._pat), zero32, zero32,
+                    k=k, m_max=self.m_max, wf=wf, halo=halo, plens=plens_dp,
+                    dp_dtype=self.config.dp_dtype,
+                    interpret=self.config.interpret,
+                )
+            )
         if any(plens_filter):
-            scan_filter_pallas.lower(
-                rows,
-                jax.ShapeDtypeStruct(self._pat_raw.shape, jax.numpy.uint8),
-                s32, s32,
+            fcnt, _ = scan_filter_pallas(
+                rows, jax.numpy.asarray(self._pat_raw), zero32, zero32,
                 k=k, m_max=self.m_max, wf=wf, halo=halo,
                 plens=plens_filter, interpret=self.config.interpret,
-            ).compile()
+            )
+            np.asarray(fcnt)
 
     def count_file(self, path) -> np.ndarray:
         """Scan a corpus file without slurping it into memory.
