@@ -155,7 +155,7 @@ def _filter_kernel(
             for j, pi in enumerate(live):
                 src = txL if seg_piece[pi] == 0 else tkL
                 new_es.append(
-                    es[j] & (src == pchar_ref[pi, x - 1]).astype(jnp.int32)
+                    jnp.where(src == pchar_ref[pi, x - 1], es[j], 0)
                 )
             text = pltpu.roll(text, shift=text.shape[1] - 1, axis=1)
             tk = pltpu.roll(tk, shift=tk.shape[1] - 1, axis=1)
