@@ -165,3 +165,23 @@ def test_randomized_cross_engine_matrix():
         for engine in ("auto", "dp"):
             got = counts_with(corpus, pats, k, engine)
             assert got == want, (trial, n, k, engine)
+
+
+def test_binary_safety_full_byte_range():
+    """Arbitrary bytes (NUL, 0xFF, newlines) in corpus and patterns.
+
+    The reference treats patterns as C strings (argv cannot carry NUL);
+    this framework is byte-clean end to end."""
+    rng = np.random.default_rng(77)
+    corpus = rng.integers(0, 256, size=3000).astype(np.uint8)
+    pats = [
+        np.array([0, 0, 255, 10, 65] * 6, dtype=np.uint8),  # NULs + 0xFF
+        rng.integers(0, 256, size=33).astype(np.uint8),
+        np.array([0] * 12, dtype=np.uint8),  # all-NUL pattern
+    ]
+    corpus[500:530] = pats[0]
+    corpus[1500:1512] = pats[2]
+    for k in [0, 1, 2]:
+        want = count_matches(corpus, pats, k)
+        for engine in ("auto", "dp"):
+            assert counts_with(corpus, pats, k, engine) == want, (k, engine)
