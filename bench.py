@@ -111,4 +111,18 @@ def main() -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    try:
+        sys.exit(main())
+    except Exception as e:  # always emit the one JSON line the driver expects
+        print(
+            json.dumps(
+                {
+                    "metric": "corpus_throughput_big_6pat_k0",
+                    "value": 0.0,
+                    "unit": "MB/s",
+                    "vs_baseline": 0.0,
+                    "error": f"{type(e).__name__}: {e}"[:300],
+                }
+            )
+        )
+        sys.exit(1)
