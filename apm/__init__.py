@@ -6,7 +6,7 @@ whose Levenshtein distance to the pattern is <= k, with byte-for-byte count
 parity against the sequential C semantics.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 from .utils import ApmConfig, PatternSet, read_input_file
 from .models.scanner import Scanner, scan_counts
