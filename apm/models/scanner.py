@@ -464,6 +464,117 @@ class Scanner:
             )
             np.asarray(fcnt)
 
+    def find(self, corpus: Bytes, limit: Optional[int] = None):
+        """Match *positions*, not just counts — beyond the reference's API.
+
+        Returns a list (one entry per input pattern) of int64 arrays of
+        window starts ``j`` with ``lev(pattern, corpus[j:j+m]) <= k``
+        (untruncated and EOF-truncated windows alike, same semantics as
+        :meth:`count`). ``limit`` caps positions per pattern.
+
+        Implementation: filtration-eligible patterns locate candidates with
+        the phase-1 kernel's row map and resolve exact positions with the
+        banded oracle on the hot rows only; other patterns fall back to an
+        oracle sweep (fine for the small/rare-k cases they represent).
+        """
+        from ..ops.filter_kernel import (
+            FOLD as FILTER_FOLD,
+            partition_plens,
+            scan_filter_pallas,
+        )
+        from ..ops.pallas_kernel import _DTYPE_FOLD
+        from ..utils.oracle import banded_distances
+
+        buf = as_u8(corpus)
+        n = len(buf)
+        k = self.k
+        nw = max(n - k, 0)
+        uniq_positions = [
+            np.zeros((0,), dtype=np.int64)
+            for _ in range(self.scan_patterns.num_patterns)
+        ]
+        if nw > 0:
+            fold = _DTYPE_FOLD[self.config.dp_dtype]
+            backend = self._resolve_backend()
+            use_kernel = backend == "pallas" and fold == FILTER_FOLD
+            fmask, plens_filter, _ = partition_plens(
+                self._plens_static, k, "filter" if use_kernel else "dp"
+            )
+            dev_bound = self.device_window_bound(n)
+            hot_rows_by_pattern = {}
+            wf = None
+            if use_kernel and any(plens_filter) and dev_bound > 0:
+                w = round_up(
+                    self.block_windows_for(n), max(fold, FILTER_FOLD) * 128
+                )
+                wf = w // fold
+                halo = round_up(self.m_max + 2 * k, 128)
+                chunk_win = max(
+                    w,
+                    round_up(min(self.config.chunk_bytes, dev_bound), w),
+                )
+                n_rows = chunk_win // wf
+                fp = (
+                    self._fingerprint(buf)
+                    if self.config.cache_corpus
+                    else None
+                )
+                dpat_raw = jax.numpy.asarray(self._pat_raw)
+                dbound = jax.numpy.asarray(dev_bound, dtype=np.int32)
+                for c0 in range(0, dev_bound, chunk_win):
+                    drows = self._staged_rows(buf, fp, c0, n_rows, wf, halo)
+                    fcnt, rowmap = scan_filter_pallas(
+                        drows, dpat_raw, dbound,
+                        jax.numpy.asarray(c0, dtype=np.int32),
+                        k=k, m_max=self.m_max, wf=wf, halo=halo,
+                        plens=plens_filter,
+                        interpret=self.config.interpret,
+                    )
+                    if int(np.asarray(fcnt).sum()) == 0:
+                        continue
+                    rm = np.asarray(rowmap)
+                    for pi in range(self.scan_patterns.num_patterns):
+                        if not fmask[pi]:
+                            continue
+                        for r in np.nonzero(rm[:, pi])[0]:
+                            hot_rows_by_pattern.setdefault(pi, []).append(
+                                c0 + int(r) * wf
+                            )
+            for pi, raw in enumerate(self.scan_patterns.raw):
+                pat = np.frombuffer(raw, np.uint8)
+                if use_kernel and fmask[pi]:
+                    # exact positions from hot rows + the EOF tail
+                    ranges = [
+                        (j0, min(j0 + wf, dev_bound))
+                        for j0 in sorted(set(hot_rows_by_pattern.get(pi, [])))
+                    ]
+                    if dev_bound < nw:
+                        ranges.append((dev_bound, nw))
+                else:
+                    ranges = [(0, nw)]  # full oracle sweep
+                found = []
+                m = len(pat)
+                for j0, j1 in ranges:
+                    if j0 >= j1:
+                        continue
+                    # Untruncated ranges only need m-1+k context bytes;
+                    # a range reaching the EOF tail keeps the true end so
+                    # the truncation quirk applies.
+                    end = n if j1 > dev_bound else min(n, j1 + m - 1 + k)
+                    d = banded_distances(buf[j0:end], pat, k)
+                    hits = np.nonzero(d[: j1 - j0] <= k)[0] + j0
+                    found.append(hits)
+                pos = (
+                    np.concatenate(found)
+                    if found
+                    else np.zeros((0,), dtype=np.int64)
+                )
+                pos = np.unique(pos).astype(np.int64)
+                if limit is not None:
+                    pos = pos[:limit]
+                uniq_positions[pi] = pos
+        return [uniq_positions[i] for i in self._inverse]
+
     def count_file(self, path) -> np.ndarray:
         """Scan a corpus file without slurping it into memory.
 

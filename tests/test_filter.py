@@ -185,3 +185,49 @@ def test_binary_safety_full_byte_range():
         want = count_matches(corpus, pats, k)
         for engine in ("auto", "dp"):
             assert counts_with(corpus, pats, k, engine) == want, (k, engine)
+
+
+def np_positions(corpus, pat, k):
+    from apm.utils.oracle import banded_distances
+
+    d = banded_distances(corpus, pat, k)
+    return list(np.nonzero(d <= k)[0])
+
+
+@pytest.mark.parametrize("k", [0, 1, 2])
+def test_find_positions(k):
+    """Scanner.find returns exact match positions (beyond the reference)."""
+    from apm.models.scanner import Scanner
+
+    rng = np.random.default_rng(9)
+    corpus = random_dna(3000, seed=50 + k).copy()
+    long_pat = random_dna(50, seed=51)
+    short_pat = random_dna(6, seed=52)  # filtration-ineligible at k>=1
+    plant_fuzzy(corpus, long_pat, k, [111, 1502, 2750], rng)
+    cfg = ApmConfig(
+        backend="pallas", interpret=True, strategy="single",
+        block_windows=1024,
+    )
+    sc = Scanner([long_pat, short_pat, long_pat], k, cfg)  # incl. duplicate
+    got = sc.find(corpus)
+    assert len(got) == 3
+    for pi, pat in enumerate([long_pat, short_pat, long_pat]):
+        assert list(got[pi]) == np_positions(corpus, pat, k), (k, pi)
+    # counts and positions must agree
+    counts = sc.count(corpus)
+    for pi in range(3):
+        assert len(got[pi]) == counts[pi]
+
+
+def test_find_limit_and_tail():
+    from apm.models.scanner import Scanner
+
+    corpus = random_dna(400, seed=60).copy()
+    pat = random_dna(50, seed=61)
+    corpus[390:400] = pat[:10]  # EOF-truncated region activity
+    cfg = ApmConfig(backend="pallas", interpret=True, block_windows=1024)
+    sc = Scanner([pat], 3, cfg)
+    full = sc.find(corpus)[0]
+    assert list(full) == np_positions(corpus, pat, 3)
+    lim = sc.find(corpus, limit=2)[0]
+    assert list(lim) == list(full[:2])
