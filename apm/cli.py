@@ -76,6 +76,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     # config-flag tier (replaces the reference's -D compile-time flags)
     cfg = ApmConfig()
     truncate_echo = False
+    positions = False
     rest: List[str] = []
     it = iter(range(len(argv)))
     i = 0
@@ -113,6 +114,9 @@ def main(argv: Optional[List[str]] = None) -> int:
             i += 1
         elif a == "--truncate-echo":
             truncate_echo = True
+            i += 1
+        elif a == "--positions":
+            positions = True
             i += 1
         else:
             rest.append(a)
@@ -166,6 +170,15 @@ def main(argv: Optional[List[str]] = None) -> int:
         sys.stdout.write(
             f"Number of matches for pattern <{echo.decode('latin-1')}>: {int(c)}\n"
         )
+    if positions:
+        # beyond the reference: exact window starts per pattern
+        for p, pos in zip(patterns, scanner.find(buf)):
+            echo = (p[:100] if truncate_echo else p).decode("latin-1")
+            sys.stdout.write(
+                f"Match positions for pattern <{echo}>:"
+                + "".join(f" {int(j)}" for j in pos)
+                + "\n"
+            )
     return 0
 
 

@@ -72,3 +72,11 @@ def test_cli_strategy_word_and_determinism(easy):
         outs.append(out_lines_sans_timing(r.stdout))
     assert outs[0] == outs[1]  # the run_tests determinism check
     assert outs[0][1].startswith("Number of matches for pattern <123>: ")
+
+
+def test_cli_positions_flag(easy):
+    r = run_cli("0", easy, "123", "--backend", "xla", "--positions")
+    assert r.returncode == 0, r.stderr
+    lines = r.stdout.splitlines()
+    assert "Number of matches for pattern <123>: 3" in lines
+    assert "Match positions for pattern <123>: 0 3 6" in lines
