@@ -154,3 +154,19 @@ def test_plan_block_windows_bounds():
             p = Plan.make(nw, 50, 8, k, 8)
             assert p.block_windows % 1024 == 0 or p.block_windows == 1024
             assert 1024 <= p.block_windows <= 65536
+
+
+def test_sharded_dedup_filter_mixed():
+    """Duplicates + mixed eligibility through the sharded database path."""
+    from apm.utils.corpus import plant, random_corpus, random_pattern
+
+    long_pat = random_pattern(50, seed=71)
+    corpus = random_corpus(9000, seed=72)
+    plant(corpus, long_pat, [100, 4500, 8800], k=1)
+    pats = [long_pat, b"ACGTA", long_pat, b"ACGTA", long_pat]
+    cfg = ApmConfig(
+        backend="pallas", interpret=True, engine="auto",
+        strategy="database_over_devices", block_windows=1024, max_devices=4,
+    )
+    got = Scanner(pats, 1, cfg).count(corpus)
+    assert got.tolist() == count_matches(corpus, pats, 1)
