@@ -328,11 +328,34 @@ class Scanner:
         out = np.zeros((p_pad,), dtype=np.int64)
 
         hot = set()
+        per_pattern_rows = {pi: [] for pi in range(p_pad)}
         for c0, rm in filt_chunks:
             for r in np.nonzero(rm[:, : p_pad].any(axis=1))[0]:
                 hot.add(c0 + int(r) * wf)
+            for pi in range(p_pad):
+                for r in np.nonzero(rm[:, pi])[0]:
+                    per_pattern_rows[pi].append(c0 + int(r) * wf)
         device_rows = sorted(j0 for j0 in hot if j0 + wf <= dev_bound)
         clipped_rows = sorted(j0 for j0 in hot if j0 + wf > dev_bound)
+
+        # Small candidate sets: the native verifier beats a device round
+        # trip (and verifies only each pattern's own hot rows).
+        from ..utils import native
+
+        if len(device_rows) <= 16 and native.available():
+            for pi, is_f in enumerate(fmask):
+                if not is_f or filt_totals[pi] == 0:
+                    continue
+                pat = self.scan_patterns.raw[pi]
+                for j0 in sorted(set(per_pattern_rows[pi])):
+                    j1 = min(j0 + wf, dev_bound)
+                    if j0 >= j1:
+                        continue
+                    seg = buf[j0 : min(n, j1 + len(pat) - 1 + k)]
+                    out[pi] += native.banded_count(
+                        seg, np.frombuffer(pat, np.uint8), k, j1 - j0, -1
+                    )
+            return out
 
         if device_rows:
             n_hot = len(device_rows)
