@@ -288,7 +288,9 @@ class Scanner:
                         interpret=self.config.interpret,
                     )
                     counts += np.asarray(dev)
-            else:
+            elif total_cand > 0:
+                # (zero candidates need no verification — and touching the
+                # un-fetched device row maps would cost round trips)
                 counts += self._verify_candidates(
                     buf, dev_bound, filt_chunks, filt_totals, fmask,
                     wf, halo, plens_filter,
