@@ -87,17 +87,24 @@ class Scanner:
 
     @staticmethod
     def _fingerprint(buf: np.ndarray) -> tuple:
-        """Cheap content fingerprint for the device-corpus cache.
+        """Full-content fingerprint for the device-corpus cache.
 
-        Samples the ends and a strided middle slice; a same-length in-place
-        mutation that misses every sampled byte would go stale — callers
-        mutating corpora in place should disable ``cache_corpus``.
+        Hashes EVERY byte (native MurmurHash64A pass at several GB/s, or
+        BLAKE2b via the buffer protocol as fallback) so any content change
+        — including a localized in-place mutation — changes the key.
+        Round 1 sampled ~192 bytes and could silently serve stale counts
+        (ADVICE r1 #2); the full pass costs a few ms per 100 MB, far below
+        the host→device transfer it saves on a hit.
         """
+        from ..utils import native
+
         n = len(buf)
-        head = bytes(buf[:64].tobytes())
-        tail = bytes(buf[-64:].tobytes()) if n >= 64 else b""
-        mid = bytes(buf[:: max(1, n // 64)].tobytes())
-        return (n, hash(head), hash(tail), hash(mid))
+        if native.available():
+            return (n, native.hash_bytes(buf))
+        import hashlib
+
+        arr = np.ascontiguousarray(buf, dtype=np.uint8)
+        return (n, hashlib.blake2b(memoryview(arr), digest_size=8).hexdigest())
 
     # -- backend selection ---------------------------------------------------
 
@@ -166,30 +173,48 @@ class Scanner:
             self.k,
         )
 
-    _DEV_CACHE_MAX = 32  # staged chunks kept device-resident (LRU)
+    def _cache_byte_budget(self) -> int:
+        """Byte cap for the device-corpus LRU: explicit config, or a
+        quarter of the device's reported HBM (round 1 capped by entry
+        *count*, which could pin ~8 GB at the default chunk size)."""
+        if self.config.cache_bytes is not None:
+            return self.config.cache_bytes
+        try:
+            stats = jax.devices()[0].memory_stats()
+            limit = int(stats.get("bytes_limit", 0)) if stats else 0
+        except Exception:
+            limit = 0
+        return limit // 4 if limit > 0 else 4 << 30
 
     def _staged_rows(self, buf, fp, c0, n_rows, wf, halo):
-        """Device-resident folded staging rows for one chunk (LRU-cached)."""
+        """Device-resident folded staging rows for one chunk (LRU-cached,
+        byte-bounded)."""
         key = (fp, wf, halo, n_rows, c0)
         if fp is not None and key in self._dev_cache:
             self._dev_cache[key] = self._dev_cache.pop(key)  # mark recent
             return self._dev_cache[key]
         drows = jax.numpy.asarray(fold_corpus(buf, c0, n_rows, wf, halo))
         if fp is not None:
-            self._dev_cache[key] = drows
-            while len(self._dev_cache) > self._DEV_CACHE_MAX:
-                self._dev_cache.pop(next(iter(self._dev_cache)))
+            budget = self._cache_byte_budget()
+            if drows.nbytes <= budget:
+                self._dev_cache[key] = drows
+                total = sum(v.nbytes for v in self._dev_cache.values())
+                while total > budget and len(self._dev_cache) > 1:
+                    old = self._dev_cache.pop(next(iter(self._dev_cache)))
+                    total -= old.nbytes
         return drows
 
-    def _count_pallas(self, buf: np.ndarray, n: int, w: int) -> np.ndarray:
+    def _count_pallas(self, buf: np.ndarray, n: int) -> np.ndarray:
         """Single-device Pallas scan: filtration + banded DP, chunked.
 
         Patterns are partitioned by :func:`apm.ops.filter_kernel.
-        filter_eligible`: eligible ones run the pigeonhole phase-1 kernel
-        (exact counts at k = 0; candidate counts + group map at k >= 1,
-        verified against the oracle per 32-window group), the rest run the
-        banded DP kernel. A density fallback reruns pattern sets whose
-        candidate rate says filtration isn't paying for itself.
+        filter_eligible`: eligible ones run the fused phase-1 + on-device
+        phase-2 program (``apm.ops.fused.filter_verify_chunk``), the rest
+        run the banded DP kernel. The chunk loop only *dispatches* — all
+        device results are fetched together afterwards, so no per-chunk
+        host synchronization — and the phase-2 decision tree (density
+        fallback, overflow recovery, clipped rows) is the shared
+        :func:`apm.models.pipeline.finalize_filtration`.
 
         The host-side chunk loop keeps every chunk the same compiled shape
         (the window bound masks the last chunk's padding), so one jit
@@ -197,22 +222,19 @@ class Scanner:
         counts per chunk host-side is checkpoint/resume for free
         (SURVEY.md §5).
         """
-        from ..ops.filter_kernel import (
-            FOLD as FILTER_FOLD,
-            partition_plens,
-            scan_filter_pallas,
-        )
-        from ..ops.pallas_kernel import (
-            _DTYPE_FOLD,
-            scan_folded_pallas_unrolled,
+        from ..ops.filter_kernel import scan_filter_pallas
+        from ..ops.fused import MAX_HOT, filter_verify_chunk
+        from ..ops.pallas_kernel import scan_folded_pallas_unrolled
+        from .pipeline import (
+            FilterChunk,
+            buf_reader,
+            finalize_filtration,
+            make_plan,
         )
 
         k = self.k
-        fold = _DTYPE_FOLD[self.config.dp_dtype]
-        w = round_up(w, max(fold, FILTER_FOLD) * 128)
-        wf = w // fold
-        halo = round_up(self.m_max + 2 * k, 128)
-        dev_bound = self.device_window_bound(n)
+        plan = make_plan(self, n, "pallas")
+        wf, halo, dev_bound = plan.wf, plan.halo, plan.dev_bound
         p_pad = self._pat.shape[0]
         counts = np.zeros((p_pad,), dtype=np.int64)
         if dev_bound <= 0:
@@ -221,12 +243,9 @@ class Scanner:
             )
             return counts
 
-        plens = self._plens_static
-        engine = self.config.engine if fold == FILTER_FOLD else "dp"
-        fmask, plens_filter, plens_dp = partition_plens(plens, k, engine)
-
         chunk_win = max(
-            w, round_up(min(self.config.chunk_bytes, max(dev_bound, 1)), w)
+            plan.w,
+            round_up(min(self.config.chunk_bytes, dev_bound), plan.w),
         )
         n_rows = chunk_win // wf
         dpat = jax.numpy.asarray(self._pat)
@@ -234,180 +253,77 @@ class Scanner:
         dbound = jax.numpy.asarray(dev_bound, dtype=np.int32)
         fp = self._fingerprint(buf) if self.config.cache_corpus else None
 
-        filt_chunks = []  # (c0, gmap device array)
-        filt_totals = np.zeros((p_pad,), dtype=np.int64)
+        handles = []  # (P,)-shaped device counts, fetched after the loop
+        fchunks = []
         for c0 in range(0, dev_bound, chunk_win):
             drows = self._staged_rows(buf, fp, c0, n_rows, wf, halo)
             dc0 = jax.numpy.asarray(c0, dtype=np.int32)
-            if any(plens_dp):
-                dev = scan_folded_pallas_unrolled(
-                    drows, dpat, dbound, dc0,
-                    k=k, m_max=self.m_max, wf=wf, halo=halo,
-                    plens=plens_dp, dp_dtype=self.config.dp_dtype,
-                    interpret=self.config.interpret,
-                )
-                counts += np.asarray(dev)
-            if any(plens_filter):
-                fcnt, rowmap = scan_filter_pallas(
-                    drows, dpat_raw, dbound, dc0,
-                    k=k, m_max=self.m_max, wf=wf, halo=halo,
-                    plens=plens_filter, interpret=self.config.interpret,
-                )
-                fcnt = np.asarray(fcnt)
-                if k == 0:
-                    counts += fcnt  # exact: candidates ARE matches
-                else:
-                    filt_totals += fcnt
-                    filt_chunks.append((c0, rowmap))
-
-        if k > 0 and any(plens_filter):
-            total_cand = int(filt_totals.sum())
-            dense = False
-            if total_cand > 0:
-                # Verification cost scales with hot rows (wf windows each):
-                # fetch the tiny row maps and decide on actual density.
-                filt_chunks = [
-                    (c0, np.asarray(rm)) for c0, rm in filt_chunks
-                ]
-                hot_rows = sum(
-                    int(np.count_nonzero(rm.any(axis=1)))
-                    for _, rm in filt_chunks
-                )
-                dense = hot_rows * wf > max(64 * wf, dev_bound // 20)
-            if dense:
-                # Candidates too dense for targeted verification: rerun
-                # these patterns through the banded kernel (phase 1 cost
-                # ~5% of a DP scan, so the fallback is cheap insurance).
-                for c0 in range(0, dev_bound, chunk_win):
-                    drows = self._staged_rows(buf, fp, c0, n_rows, wf, halo)
-                    dev = scan_folded_pallas_unrolled(
-                        drows, dpat, dbound,
-                        jax.numpy.asarray(c0, dtype=np.int32),
+            if plan.any_dp:
+                handles.append(
+                    scan_folded_pallas_unrolled(
+                        drows, dpat, dbound, dc0,
                         k=k, m_max=self.m_max, wf=wf, halo=halo,
-                        plens=plens_filter, dp_dtype=self.config.dp_dtype,
+                        plens=plan.plens_dp, dp_dtype=self.config.dp_dtype,
                         interpret=self.config.interpret,
                     )
-                    counts += np.asarray(dev)
-            elif total_cand > 0:
-                # (zero candidates need no verification — and touching the
-                # un-fetched device row maps would cost round trips)
-                counts += self._verify_candidates(
-                    buf, dev_bound, filt_chunks, filt_totals, fmask,
-                    wf, halo, plens_filter,
                 )
+            if plan.any_filter:
+                if k == 0:
+                    fcnt, _ = scan_filter_pallas(
+                        drows, dpat_raw, dbound, dc0,
+                        k=k, m_max=self.m_max, wf=wf, halo=halo,
+                        plens=plan.plens_filter,
+                        interpret=self.config.interpret,
+                    )
+                    handles.append(fcnt)  # exact: candidates ARE matches
+                else:
+                    fcnt, vcnt, n_hot, clip, rowmap = filter_verify_chunk(
+                        drows, dpat_raw, dpat, dbound, dc0,
+                        k=k, m_max=self.m_max, wf=wf, halo=halo,
+                        plens=plan.plens_filter,
+                        dp_dtype=self.config.dp_dtype,
+                        interpret=self.config.interpret,
+                    )
+                    fchunks.append(
+                        FilterChunk(c0, fcnt, vcnt, n_hot, clip, rowmap)
+                    )
+        for h in handles:
+            counts += np.asarray(h)
+
+        if fchunks:
+
+            def rescan() -> np.ndarray:
+                out = np.zeros((p_pad,), dtype=np.int64)
+                for c0 in range(0, dev_bound, chunk_win):
+                    drows = self._staged_rows(buf, fp, c0, n_rows, wf, halo)
+                    out += np.asarray(
+                        scan_folded_pallas_unrolled(
+                            drows, dpat, dbound,
+                            jax.numpy.asarray(c0, dtype=np.int32),
+                            k=k, m_max=self.m_max, wf=wf, halo=halo,
+                            plens=plan.plens_filter,
+                            dp_dtype=self.config.dp_dtype,
+                            interpret=self.config.interpret,
+                        )
+                    )
+                return out
+
+            counts += finalize_filtration(
+                self, buf_reader(buf), plan, n, fchunks, rescan,
+                max_hot=MAX_HOT,
+            )
 
         counts[: self.scan_patterns.num_patterns] += self.tail_counts(
             buf, dev_bound
         )
         return counts
 
-    def _verify_candidates(
-        self,
-        buf,
-        dev_bound,
-        filt_chunks,
-        filt_totals,
-        fmask,
-        wf,
-        halo,
-        plens_filter,
-    ) -> np.ndarray:
-        """Verify candidate windows in the hot staging rows.
-
-        The union of hot rows (across all filtration patterns) is staged as
-        a mini-corpus and run through the banded DP kernel in ONE device
-        call — rows hot only for another pattern contribute zero (no
-        candidates implies no matches), the row-count bucket padding is
-        masked by the window bound, and only the corpus-final clipped row
-        falls back to the NumPy oracle.
-        """
-        from ..ops.pallas_kernel import FOLD, scan_folded_pallas_unrolled
-        from ..utils.oracle import banded_distances
-
-        n = len(buf)
-        k = self.k
-        p_pad = self._pat.shape[0]
-        out = np.zeros((p_pad,), dtype=np.int64)
-
-        hot = set()
-        per_pattern_rows = {pi: [] for pi in range(p_pad)}
-        for c0, rm in filt_chunks:
-            for r in np.nonzero(rm[:, : p_pad].any(axis=1))[0]:
-                hot.add(c0 + int(r) * wf)
-            for pi in range(p_pad):
-                for r in np.nonzero(rm[:, pi])[0]:
-                    per_pattern_rows[pi].append(c0 + int(r) * wf)
-        device_rows = sorted(j0 for j0 in hot if j0 + wf <= dev_bound)
-        clipped_rows = sorted(j0 for j0 in hot if j0 + wf > dev_bound)
-
-        # Small candidate sets: the native verifier beats a device round
-        # trip (and verifies only each pattern's own hot rows).
-        from ..utils import native
-
-        if len(device_rows) <= 16 and native.available():
-            for pi, is_f in enumerate(fmask):
-                if not is_f or filt_totals[pi] == 0:
-                    continue
-                pat = self.scan_patterns.raw[pi]
-                for j0 in sorted(set(per_pattern_rows[pi])):
-                    j1 = min(j0 + wf, dev_bound)
-                    if j0 >= j1:
-                        continue
-                    seg = buf[j0 : min(n, j1 + len(pat) - 1 + k)]
-                    out[pi] += native.banded_count(
-                        seg, np.frombuffer(pat, np.uint8), k, j1 - j0, -1
-                    )
-            return out
-
-        if device_rows:
-            n_hot = len(device_rows)
-            bucket = max(FOLD, round_up(n_hot, 4 * FOLD))
-            stage = np.zeros((bucket, wf + halo), dtype=np.uint8)
-            for i, j0 in enumerate(device_rows):
-                hi = min(n, j0 + wf + halo)
-                stage[i, : hi - j0] = buf[j0:hi]
-            dev = scan_folded_pallas_unrolled(
-                jax.numpy.asarray(stage),
-                jax.numpy.asarray(self._pat),
-                jax.numpy.asarray(n_hot * wf, dtype=np.int32),
-                jax.numpy.asarray(0, dtype=np.int32),
-                k=k,
-                m_max=self.m_max,
-                wf=wf,
-                halo=halo,
-                plens=plens_filter,
-                dp_dtype=self.config.dp_dtype,
-                interpret=self.config.interpret,
-            )
-            out += np.asarray(dev)
-
-        from ..utils import native
-
-        use_native = native.available()
-        for j0 in clipped_rows:
-            j1 = min(j0 + wf, dev_bound)
-            if j0 >= j1:
-                continue
-            for pi, is_f in enumerate(fmask):
-                if not is_f or filt_totals[pi] == 0:
-                    continue
-                pat = self.scan_patterns.raw[pi]
-                seg = buf[j0 : min(n, j1 + len(pat) - 1 + k)]
-                if use_native:
-                    out[pi] += native.banded_count(
-                        seg, np.frombuffer(pat, np.uint8), k, j1 - j0, -1
-                    )
-                else:
-                    d = banded_distances(seg, pat, k)
-                    out[pi] += int(np.sum(d[: j1 - j0] <= k))
-        return out
-
     def _count_single(self, buf: np.ndarray) -> np.ndarray:
         n = len(buf)
         backend = self._resolve_backend()
         w = self.block_windows_for(n)
         if backend == "pallas":
-            counts = self._count_pallas(buf, n, w)
+            counts = self._count_pallas(buf, n)
         else:
             from ..ops.xla_engine import scan_corpus_xla
 
@@ -441,53 +357,49 @@ class Scanner:
         """
         if self._resolve_backend() != "pallas":
             return
-        from ..ops.filter_kernel import (
-            FOLD as FILTER_FOLD,
-            partition_plens,
-            scan_filter_pallas,
-        )
-        from ..ops.pallas_kernel import (
-            _DTYPE_FOLD,
-            scan_folded_pallas_unrolled,
-        )
+        from ..ops.filter_kernel import scan_filter_pallas
+        from ..ops.fused import filter_verify_chunk
+        from ..ops.pallas_kernel import scan_folded_pallas_unrolled
+        from .pipeline import make_plan
 
         n = int(corpus_bytes)
         k = self.k
-        fold = _DTYPE_FOLD[self.config.dp_dtype]
-        w = round_up(
-            self.block_windows_for(n), max(fold, FILTER_FOLD) * 128
-        )
-        wf = w // fold
-        halo = round_up(self.m_max + 2 * k, 128)
-        dev_bound = self.device_window_bound(n)
+        plan = make_plan(self, n, "pallas")
+        wf, halo, dev_bound = plan.wf, plan.halo, plan.dev_bound
         if dev_bound <= 0:
             return
-        engine = self.config.engine if fold == FILTER_FOLD else "dp"
-        _, plens_filter, plens_dp = partition_plens(
-            self._plens_static, k, engine
-        )
         chunk_win = max(
-            w, round_up(min(self.config.chunk_bytes, dev_bound), w)
+            plan.w, round_up(min(self.config.chunk_bytes, dev_bound), plan.w)
         )
         n_rows = chunk_win // wf
         zero32 = jax.numpy.asarray(0, jax.numpy.int32)
         rows = jax.numpy.zeros((n_rows, wf + halo), jax.numpy.uint8)
-        if any(plens_dp):
+        if plan.any_dp:
             np.asarray(
                 scan_folded_pallas_unrolled(
                     rows, jax.numpy.asarray(self._pat), zero32, zero32,
-                    k=k, m_max=self.m_max, wf=wf, halo=halo, plens=plens_dp,
-                    dp_dtype=self.config.dp_dtype,
+                    k=k, m_max=self.m_max, wf=wf, halo=halo,
+                    plens=plan.plens_dp, dp_dtype=self.config.dp_dtype,
                     interpret=self.config.interpret,
                 )
             )
-        if any(plens_filter):
-            fcnt, _ = scan_filter_pallas(
-                rows, jax.numpy.asarray(self._pat_raw), zero32, zero32,
-                k=k, m_max=self.m_max, wf=wf, halo=halo,
-                plens=plens_filter, interpret=self.config.interpret,
-            )
-            np.asarray(fcnt)
+        if plan.any_filter:
+            if k == 0:
+                fcnt, _ = scan_filter_pallas(
+                    rows, jax.numpy.asarray(self._pat_raw), zero32, zero32,
+                    k=k, m_max=self.m_max, wf=wf, halo=halo,
+                    plens=plan.plens_filter, interpret=self.config.interpret,
+                )
+                np.asarray(fcnt)
+            else:
+                fcnt, vcnt, *_ = filter_verify_chunk(
+                    rows, jax.numpy.asarray(self._pat_raw),
+                    jax.numpy.asarray(self._pat), zero32, zero32,
+                    k=k, m_max=self.m_max, wf=wf, halo=halo,
+                    plens=plan.plens_filter, dp_dtype=self.config.dp_dtype,
+                    interpret=self.config.interpret,
+                )
+                np.asarray(fcnt), np.asarray(vcnt)
 
     def find(self, corpus: Bytes, limit: Optional[int] = None):
         """Match *positions*, not just counts — beyond the reference's API.

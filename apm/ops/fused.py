@@ -1,0 +1,126 @@
+"""Fused filtration + on-device candidate verification.
+
+Round 1 ran phase 1 (pigeonhole filtration, apm.ops.filter_kernel) on
+device, fetched the per-row candidate map to the host, staged the hot rows
+back onto the device, and ran phase 2 (banded DP) in a second call. The
+host round trip dominated: phase 1 alone ran ~1.25 GB/s at k = 1 but
+end-to-end was ~574 MB/s whenever matches were present.
+
+This module fuses both phases into ONE jitted device program per chunk:
+
+* phase 1 produces the per-staging-row candidate map *on device*;
+* a device-side compaction (``nonzero`` + gathered ``take``) selects up to
+  ``max_hot`` hot rows straight out of the staged corpus (which is already
+  device-resident — no re-staging, no transfer);
+* the banded DP kernel verifies the gathered rows, masked to the true hot
+  count.
+
+The host receives only four tiny arrays per chunk — candidate totals,
+verified totals, the hot-row count, and the (at most one) window-bound-
+clipped hot row — so the common cases (zero candidates, sparse matches)
+complete without ever synchronizing on a row map. Overflow (more than
+``max_hot`` hot rows) and high candidate density are detected from the
+hot-row count and handled by the orchestrator (apm.models.pipeline) via
+the host-staged path or a banded-DP rescan.
+
+The reference has no analog: its kernels always run the full DP per
+window (``src/utils.c:76-99``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .filter_kernel import FOLD, scan_filter_pallas
+from .pallas_kernel import scan_folded_pallas_unrolled
+
+# Hot-row compaction bucket: rows verified on device per chunk. Must be a
+# multiple of FOLD (kernel block height). 64 rows x (wf + halo) bytes is
+# ~0.5-4 MB of gather output and ~0.2% of a 256 MB chunk's DP work, so the
+# always-on verification pass is effectively free.
+MAX_HOT = 64
+
+# Clipped-row slots: at most ONE row per chunk can straddle the window
+# bound (rows tile the chunk disjointly; rows fully past the bound have
+# every window masked and cannot be hot). 8 is pure safety margin.
+MAX_CLIP = 8
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "m_max", "wf", "halo", "plens", "max_hot", "dp_dtype",
+        "interpret",
+    ),
+)
+def filter_verify_chunk(
+    corpus_rows: jax.Array,  # (R, wf + halo) uint8 — folded corpus rows
+    pat_raw: jax.Array,  # (P, m_max) uint8 — raw pattern table
+    pat: jax.Array,  # (P, m_max + 2k) uint8 — k-padded pattern table
+    bound: jax.Array,  # () int32 — global window bound (exclusive)
+    start: jax.Array,  # () int32 — global window index of row 0
+    *,
+    k: int,
+    m_max: int,
+    wf: int,
+    halo: int,
+    plens: tuple,
+    max_hot: int = MAX_HOT,
+    dp_dtype: str = "int32",
+    interpret: bool = False,
+):
+    """One-call phase 1 + phase 2 for one staged chunk (k >= 1).
+
+    Returns ``(fcnt, vcnt, n_hot, clip_starts, rowmap)``:
+
+    * ``fcnt`` (P,) int32 — phase-1 candidate totals;
+    * ``vcnt`` (P,) int32 — exact match counts over the first ``max_hot``
+      *full* hot rows (complete iff ``n_hot <= max_hot``);
+    * ``n_hot`` () int32 — true number of full hot rows in this chunk;
+    * ``clip_starts`` (MAX_CLIP,) int32 — global window starts of hot rows
+      clipped by ``bound`` (−1 padding); verified host-side;
+    * ``rowmap`` (R, P) int32 — phase-1 row map, left on device; fetched
+      only for overflow recovery.
+
+    Verification runs over the *union* of hot rows with all ``plens``
+    patterns: a row hot only for pattern A contributes zero to pattern B,
+    because a B-match would imply a B-candidate (pigeonhole) and the row
+    would be hot for B too.
+    """
+    assert k >= 1, "k = 0 candidates are exact; call scan_filter_pallas"
+    assert max_hot % FOLD == 0 and max_hot > 0
+    fcnt, rowmap = scan_filter_pallas(
+        corpus_rows, pat_raw, bound, start,
+        k=k, m_max=m_max, wf=wf, halo=halo, plens=plens,
+        interpret=interpret,
+    )
+    r_rows = corpus_rows.shape[0]
+    hot = jnp.sum(rowmap, axis=1) > 0  # (R,)
+    row_start = (
+        start.astype(jnp.int32)
+        + jnp.arange(r_rows, dtype=jnp.int32) * wf
+    )
+    full = row_start + wf <= bound
+    use = jnp.logical_and(hot, full)
+    n_hot = jnp.sum(use.astype(jnp.int32))
+
+    idx = jnp.nonzero(use, size=max_hot, fill_value=r_rows)[0]
+    stage = jnp.take(
+        corpus_rows, idx, axis=0, mode="fill", fill_value=0
+    )  # (max_hot, wf + halo)
+    vbound = jnp.minimum(n_hot, max_hot) * wf
+    vcnt = scan_folded_pallas_unrolled(
+        stage, pat, vbound, jnp.int32(0),
+        k=k, m_max=m_max, wf=wf, halo=halo, plens=plens,
+        dp_dtype=dp_dtype, interpret=interpret,
+    )
+
+    clip = jnp.logical_and(hot, jnp.logical_not(full))
+    clip_idx = jnp.nonzero(clip, size=MAX_CLIP, fill_value=-1)[0]
+    clip_starts = jnp.where(
+        clip_idx >= 0, start + clip_idx.astype(jnp.int32) * wf, -1
+    )
+    return fcnt, vcnt, n_hot, clip_starts, rowmap

@@ -79,17 +79,13 @@ def count_multihost(scanner: "Scanner", path: str) -> np.ndarray:
 
     Returns the per-pattern counts (valid on every host; host 0 prints).
     """
-    from ..ops.pallas_kernel import _DTYPE_FOLD
-    from ..utils import native
+    from ..models.pipeline import make_plan
 
     k, m_max = scanner.k, scanner.m_max
     backend = scanner._resolve_backend()
     n = os.path.getsize(path)
-    fold = _DTYPE_FOLD[scanner.config.dp_dtype]
-    w = round_up(scanner.block_windows_for(n), fold * 128)
-    wf = w // fold
-    halo = round_up(m_max, 128) if backend == "pallas" else m_max
-    dev_bound = scanner.device_window_bound(n)
+    plan = make_plan(scanner, n, backend)
+    w, wf, halo, dev_bound = plan.w, plan.wf, plan.halo, plan.dev_bound
 
     devices = np.asarray(jax.devices())  # global device order
     n_dev = len(devices)
@@ -137,14 +133,15 @@ def count_multihost(scanner: "Scanner", path: str) -> np.ndarray:
         dbound = jax.device_put(np.int32(bound_val), rep)
         dpat = jax.device_put(scanner._pat, NamedSharding(mesh, P(None, None)))
         dplen = jax.device_put(scanner._plen, NamedSharding(mesh, P(None)))
-        from ..ops.filter_kernel import partition_plens
-        from .strategies import _filter_sharded
-
-        engine = scanner.config.engine if backend == "pallas" else "dp"
-        fmask, plens_filter, plens_dp = partition_plens(
-            scanner._plens_static, k, engine
+        from ..models.pipeline import (
+            FilterChunk,
+            file_reader,
+            finalize_filtration,
         )
-        if any(plens_dp):
+        from ..ops.fused import MAX_HOT
+        from .strategies import _filter_sharded, _filter_verify_sharded
+
+        if plan.any_dp:
             dev_counts = _database_sharded(
                 shards,
                 starts,
@@ -157,27 +154,71 @@ def count_multihost(scanner: "Scanner", path: str) -> np.ndarray:
                 m_max=m_max,
                 w=wf if backend == "pallas" else w,
                 halo=halo,
-                plens=plens_dp,
+                plens=plan.plens_dp,
                 dp_dtype=scanner.config.dp_dtype,
                 interpret=scanner.config.interpret,
             )
             counts += np.asarray(dev_counts)
-        if any(plens_filter):
+        if plan.any_filter:
             dpat_raw = jax.device_put(
                 scanner._pat_raw, NamedSharding(mesh, P(None, None))
             )
-            fcnt, rowmaps = _filter_sharded(
-                shards, starts, dpat_raw, dbound,
-                mesh=mesh, k=k, m_max=m_max, w=wf, halo=halo,
-                plens=plens_filter, interpret=scanner.config.interpret,
-            )
-            fcnt = np.asarray(fcnt)
             if k == 0:
-                counts += fcnt
-            elif fcnt.sum() > 0:
-                counts += _verify_from_file(
-                    scanner, path, n, dev_bound, s, np.asarray(rowmaps),
-                    fcnt, fmask, wf, halo, plens_filter,
+                fcnt, _ = _filter_sharded(
+                    shards, starts, dpat_raw, dbound,
+                    mesh=mesh, k=k, m_max=m_max, w=wf, halo=halo,
+                    plens=plan.plens_filter,
+                    interpret=scanner.config.interpret,
+                )
+                counts += np.asarray(fcnt)
+            else:
+                fcnt, vcnt, n_hots, clips, rowmaps = _filter_verify_sharded(
+                    shards, starts, dpat_raw, dpat, dbound,
+                    mesh=mesh, k=k, m_max=m_max, w=wf, halo=halo,
+                    plens=plan.plens_filter,
+                    dp_dtype=scanner.config.dp_dtype,
+                    interpret=scanner.config.interpret,
+                )
+                # Row maps are device-sharded; only a single process can
+                # fetch them all. Multi-process overflow recovery falls
+                # back to the banded rescan inside finalize_filtration.
+                rm_cache: dict = {}
+
+                def fetch_rowmap(d):
+                    if "rm" not in rm_cache:
+                        rm_cache["rm"] = np.asarray(rowmaps)
+                    return rm_cache["rm"][d]
+
+                single_proc = jax.process_count() == 1
+                n_hots = np.asarray(n_hots)
+                clips = np.asarray(clips)
+                fchunks = [
+                    FilterChunk(
+                        gi * s,
+                        fcnt if gi == 0 else None,
+                        vcnt if gi == 0 else None,
+                        n_hots[gi],
+                        clips[gi],
+                        (lambda gi=gi: fetch_rowmap(gi))
+                        if single_proc
+                        else None,
+                    )
+                    for gi in range(n_dev)
+                ]
+
+                def rescan() -> np.ndarray:
+                    dev = _database_sharded(
+                        shards, starts, dpat, dplen, dbound,
+                        mesh=mesh, backend=backend, k=k, m_max=m_max,
+                        w=wf, halo=halo, plens=plan.plens_filter,
+                        dp_dtype=scanner.config.dp_dtype,
+                        interpret=scanner.config.interpret,
+                    )
+                    return np.asarray(dev).astype(np.int64)
+
+                counts += finalize_filtration(
+                    scanner, file_reader(path), plan, n, fchunks,
+                    rescan, max_hot=MAX_HOT,
                 )
 
     # EOF tail: tiny; every host computes it identically (no broadcast needed).
@@ -186,67 +227,6 @@ def count_multihost(scanner: "Scanner", path: str) -> np.ndarray:
             path, dev_bound, n, k, scanner
         )
     return counts
-
-
-def _verify_from_file(
-    scanner, path, n, dev_bound, s, rowmaps, fcnt, fmask, wf, halo, plens_filter
-) -> np.ndarray:
-    """File-backed candidate verification (the multihost analog of
-    ``Scanner._verify_candidates``): hot rows staged by range reads, one
-    device DP call, clipped rows via the native banded verifier. Every
-    host computes the same result (no broadcast needed)."""
-    import jax.numpy as jnp
-
-    from ..ops.pallas_kernel import FOLD, scan_folded_pallas_unrolled
-    from ..ops.common import round_up
-    from ..utils.oracle import banded_distances
-
-    k = scanner.k
-    p_pad = scanner._pat.shape[0]
-    out = np.zeros((p_pad,), dtype=np.int64)
-    hot = set()
-    for d in range(rowmaps.shape[0]):
-        for r in np.nonzero(rowmaps[d].any(axis=1))[0]:
-            hot.add(d * s + int(r) * wf)
-    device_rows = sorted(j0 for j0 in hot if j0 + wf <= dev_bound)
-    clipped = sorted(j0 for j0 in hot if j0 + wf > dev_bound)
-
-    if device_rows:
-        n_hot = len(device_rows)
-        bucket = max(FOLD, round_up(n_hot, 4 * FOLD))
-        stage = np.zeros((bucket, wf + halo), dtype=np.uint8)
-        for i, j0 in enumerate(device_rows):
-            stage[i] = _read_range(path, j0, wf + halo)
-        dev = scan_folded_pallas_unrolled(
-            jnp.asarray(stage),
-            jnp.asarray(scanner._pat),
-            jnp.asarray(n_hot * wf, jnp.int32),
-            jnp.asarray(0, jnp.int32),
-            k=k, m_max=scanner.m_max, wf=wf, halo=halo,
-            plens=plens_filter, dp_dtype=scanner.config.dp_dtype,
-            interpret=scanner.config.interpret,
-        )
-        out += np.asarray(dev)
-
-    from ..utils import native
-
-    for j0 in clipped:
-        j1 = min(j0 + wf, dev_bound)
-        if j0 >= j1:
-            continue
-        for pi, is_f in enumerate(fmask):
-            if not is_f or fcnt[pi] == 0:
-                continue
-            pat = scanner.scan_patterns.raw[pi]
-            seg = _read_range(path, j0, min(n - j0, j1 - j0 + len(pat) - 1 + k))
-            if native.available():
-                out[pi] += native.banded_count(
-                    seg, np.frombuffer(pat, np.uint8), k, j1 - j0, -1
-                )
-            else:
-                d = banded_distances(seg, pat, k)
-                out[pi] += int(np.sum(d[: j1 - j0] <= k))
-    return out
 
 
 def _read_range(path: str, start: int, length: int) -> np.ndarray:

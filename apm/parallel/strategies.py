@@ -106,6 +106,57 @@ def _filter_sharded(shards, starts, pat_raw, bound, *, mesh, k, m_max, w, halo, 
 
 @functools.partial(
     jax.jit,
+    static_argnames=(
+        "mesh", "k", "m_max", "w", "halo", "plens", "dp_dtype", "interpret"
+    ),
+)
+def _filter_verify_sharded(
+    shards, starts, pat_raw, pat, bound, *, mesh, k, m_max, w, halo, plens,
+    dp_dtype="int32", interpret=False,
+):
+    """Sharded fused filtration + on-device verification (k >= 1).
+
+    Each device verifies its own shard's hot rows (gathered straight from
+    the device-resident staging rows, see ``apm.ops.fused``); the
+    per-pattern candidate and verified totals ride one ``psum`` each, and
+    the tiny per-shard hot-row counts / clipped-row starts are
+    ``all_gather``-replicated so every process sees identical values (no
+    host ever reads another host's shard). Row maps stay device-sharded —
+    fetched only by single-process overflow recovery.
+    """
+    from ..ops.fused import filter_verify_chunk
+
+    def body(shard, start, pat_raw, pat, bound):
+        fcnt, vcnt, n_hot, clip_starts, rowmap = filter_verify_chunk(
+            shard[0], pat_raw, pat, bound, start[0],
+            k=k, m_max=m_max, wf=w, halo=halo, plens=plens,
+            dp_dtype=dp_dtype, interpret=interpret,
+        )
+        return (
+            jax.lax.psum(fcnt, "data"),
+            jax.lax.psum(vcnt, "data"),
+            jax.lax.all_gather(n_hot, "data"),
+            jax.lax.all_gather(clip_starts, "data"),
+            rowmap[None],
+        )
+
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            P("data", None, None), P("data"), P(None, None), P(None, None),
+            P(),
+        ),
+        out_specs=(
+            P(None), P(None), P(None), P(None, None),
+            P("data", None, None),
+        ),
+        check_vma=False,
+    )(shards, starts, pat_raw, pat, bound)
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("mesh", "backend", "k", "m_max", "w", "halo", "interpret"),
 )
 def _patterns_sharded(corpus, pat, plen, bound, *, mesh, backend, k, m_max, w, halo, interpret):
@@ -159,20 +210,18 @@ def count_database_over_devices(scanner: "Scanner", buf: np.ndarray, n_dev: int)
     counts = np.zeros((p_pad,), dtype=np.int64)
 
     if backend == "pallas":
-        from ..ops.filter_kernel import FOLD as FILTER_FOLD, partition_plens
-        from ..ops.pallas_kernel import _DTYPE_FOLD
-
-        fold = _DTYPE_FOLD[scanner.config.dp_dtype]
-        w = round_up(w, fold * 128)
-        wf = w // fold
-        halo = round_up(m_max + 2 * k, 128)
-        dev_bound = scanner.device_window_bound(n)
-        engine = scanner.config.engine if fold == FILTER_FOLD else "dp"
-        fmask, plens_filter, plens_dp = partition_plens(
-            scanner._plens_static, k, engine
+        from ..models.pipeline import (
+            FilterChunk,
+            buf_reader,
+            finalize_filtration,
+            make_plan,
         )
+        from ..ops.fused import MAX_HOT
+
+        plan = make_plan(scanner, n, backend)
+        wf, halo, dev_bound = plan.wf, plan.halo, plan.dev_bound
         if dev_bound > 0:
-            s = max(round_up(_cdiv(dev_bound, n_dev), w), w)
+            s = max(round_up(_cdiv(dev_bound, n_dev), plan.w), plan.w)
             rows_per = s // wf
             shards = np.stack(
                 [fold_corpus(buf, d * s, rows_per, wf, halo) for d in range(n_dev)]
@@ -183,49 +232,72 @@ def count_database_over_devices(scanner: "Scanner", buf: np.ndarray, n_dev: int)
             )
             dstarts = jax.device_put(starts, NamedSharding(mesh, P("data")))
             dbound = jax.device_put(np.int32(dev_bound), rep)
-            if any(plens_dp):
+            if plan.any_dp:
                 dev = _database_sharded(
                     dshards, dstarts, dpat, dplen, dbound,
                     mesh=mesh, backend=backend, k=k, m_max=m_max, w=wf,
-                    halo=halo, plens=plens_dp,
+                    halo=halo, plens=plan.plens_dp,
                     dp_dtype=scanner.config.dp_dtype,
                     interpret=scanner.config.interpret,
                 )
                 counts += np.asarray(dev)
-            if any(plens_filter):
+            if plan.any_filter:
                 dpat_raw = jax.device_put(
                     scanner._pat_raw, NamedSharding(mesh, P(None, None))
                 )
-                fcnt, rowmaps = _filter_sharded(
-                    dshards, dstarts, dpat_raw, dbound,
-                    mesh=mesh, k=k, m_max=m_max, w=wf, halo=halo,
-                    plens=plens_filter, interpret=scanner.config.interpret,
-                )
-                fcnt = np.asarray(fcnt)
                 if k == 0:
-                    counts += fcnt
-                elif fcnt.sum() > 0:
-                    rm = np.asarray(rowmaps)  # (D, R_s, P)
-                    filt_chunks = [(d * s, rm[d]) for d in range(n_dev)]
-                    hot_rows = sum(
-                        int(np.count_nonzero(r.any(axis=1)))
-                        for _, r in filt_chunks
+                    fcnt, _ = _filter_sharded(
+                        dshards, dstarts, dpat_raw, dbound,
+                        mesh=mesh, k=k, m_max=m_max, w=wf, halo=halo,
+                        plens=plan.plens_filter,
+                        interpret=scanner.config.interpret,
                     )
-                    if hot_rows * wf > max(64 * wf, dev_bound // 20):
-                        dev = _database_sharded(
-                            dshards, dstarts, dpat, dplen, dbound,
-                            mesh=mesh, backend=backend, k=k, m_max=m_max,
-                            w=wf, halo=halo, plens=plens_filter,
+                    counts += np.asarray(fcnt)
+                else:
+                    fcnt, vcnt, n_hots, clips, rowmaps = (
+                        _filter_verify_sharded(
+                            dshards, dstarts, dpat_raw, dpat, dbound,
+                            mesh=mesh, k=k, m_max=m_max, w=wf, halo=halo,
+                            plens=plan.plens_filter,
                             dp_dtype=scanner.config.dp_dtype,
                             interpret=scanner.config.interpret,
                         )
-                        counts += np.asarray(dev)
-                    else:
-                        counts += scanner._verify_candidates(
-                            buf, dev_bound, filt_chunks,
-                            fcnt.astype(np.int64), fmask, wf, halo,
-                            plens_filter,
+                    )
+                    rm_cache: dict = {}
+
+                    def fetch_rowmap(d):
+                        if "rm" not in rm_cache:
+                            rm_cache["rm"] = np.asarray(rowmaps)
+                        return rm_cache["rm"][d]
+
+                    n_hots = np.asarray(n_hots)
+                    clips = np.asarray(clips)
+                    fchunks = [
+                        FilterChunk(
+                            d * s,
+                            fcnt if d == 0 else None,
+                            vcnt if d == 0 else None,
+                            n_hots[d],
+                            clips[d],
+                            (lambda d=d: fetch_rowmap(d)),
                         )
+                        for d in range(n_dev)
+                    ]
+
+                    def rescan() -> np.ndarray:
+                        dev = _database_sharded(
+                            dshards, dstarts, dpat, dplen, dbound,
+                            mesh=mesh, backend=backend, k=k, m_max=m_max,
+                            w=wf, halo=halo, plens=plan.plens_filter,
+                            dp_dtype=scanner.config.dp_dtype,
+                            interpret=scanner.config.interpret,
+                        )
+                        return np.asarray(dev).astype(np.int64)
+
+                    counts += finalize_filtration(
+                        scanner, buf_reader(buf), plan, n, fchunks,
+                        rescan, max_hot=MAX_HOT,
+                    )
         counts[: scanner.scan_patterns.num_patterns] += scanner.tail_counts(
             buf, dev_bound
         )

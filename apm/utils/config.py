@@ -47,8 +47,11 @@ class ApmConfig:
     # verdict is exact for all of them (int8 re-enables clamping at k+1).
     dp_dtype: str = "int32"
     # Keep the staged corpus device-resident between count() calls (keyed by
-    # a content fingerprint) so repeated scans skip host->device transfer.
+    # a full-content hash) so repeated scans skip host->device transfer.
     cache_corpus: bool = True
+    # Byte budget for the device-resident corpus cache. None = a quarter of
+    # the device's reported HBM (fallback 4 GiB when unknown).
+    cache_bytes: Optional[int] = None
 
     def validate(self) -> "ApmConfig":
         if self.backend not in ("auto", "pallas", "xla"):
@@ -64,6 +67,8 @@ class ApmConfig:
             raise ValueError(f"unknown engine {self.engine!r}")
         if self.dp_dtype not in ("int32", "int16", "int8"):
             raise ValueError(f"unknown dp_dtype {self.dp_dtype!r}")
+        if self.cache_bytes is not None and self.cache_bytes < 0:
+            raise ValueError("cache_bytes must be >= 0")
         if self.block_windows is not None and (
             self.block_windows % 128 != 0 or self.block_windows <= 0
         ):

@@ -96,6 +96,11 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_int64),
     ]
     lib.apmio_banded_count.restype = ctypes.c_int32
+    lib.apmio_hash.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64,
+    ]
+    lib.apmio_hash.restype = ctypes.c_uint64
     _lib = lib
     return _lib
 
@@ -212,6 +217,19 @@ def banded_count(
     if rc != 0:
         raise ValueError("apmio_banded_count failed")
     return int(out.value)
+
+
+def hash_bytes(buf: np.ndarray) -> int:
+    """Full-content 64-bit hash (MurmurHash64A mixing), one native pass."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native apmio library not available")
+    buf = np.ascontiguousarray(buf, dtype=np.uint8)
+    return int(
+        lib.apmio_hash(
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(buf)
+        )
+    )
 
 
 if __name__ == "__main__":

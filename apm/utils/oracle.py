@@ -41,11 +41,20 @@ def as_u8(data: Bytes) -> np.ndarray:
     """Coerce text/pattern input to a 1-D uint8 byte array (raw bytes)."""
     if isinstance(data, np.ndarray):
         if data.dtype.kind in ("S", "U"):  # byte/str-typed arrays
-            return np.frombuffer(
-                bytes(data.tobytes()) if data.dtype.kind == "S"
-                else str(data).encode("latin-1"),
-                dtype=np.uint8,
-            )
+            # Only a scalar / single element is unambiguous: 'S' items carry
+            # NUL padding to the itemsize and multi-element 'U' arrays have
+            # no defined byte concatenation — reject rather than mangle.
+            if data.size > 1:
+                raise ValueError(
+                    "multi-element string arrays are ambiguous; join the "
+                    "elements or pass bytes"
+                )
+            if data.size == 0:
+                return np.zeros((0,), dtype=np.uint8)
+            item = data.reshape(()).item()  # bytes for 'S', str for 'U'
+            if isinstance(item, str):
+                item = item.encode("latin-1")
+            return np.frombuffer(item, dtype=np.uint8)
         return np.ascontiguousarray(data, dtype=np.uint8).ravel()
     if isinstance(data, str):
         data = data.encode("latin-1")

@@ -222,4 +222,33 @@ int32_t apmio_banded_count(const uint8_t* text, int64_t text_len,
     return 0;
 }
 
+// 64-bit content hash (MurmurHash64A mixing) for the device-corpus cache
+// key. One streaming pass at several GB/s — cheap next to staging, and a
+// *full* read of the buffer, so any in-place mutation changes the key
+// (the round-1 sampling fingerprint could miss localized edits).
+uint64_t apmio_hash(const uint8_t* buf, int64_t n) {
+    const uint64_t m = 0xC6A4A7935BD1E995ull;
+    uint64_t h = 0x9E3779B97F4A7C15ull ^ (static_cast<uint64_t>(n) * m);
+    int64_t i = 0;
+    for (; i + 8 <= n; i += 8) {
+        uint64_t w;
+        memcpy(&w, buf + i, 8);
+        w *= m;
+        w ^= w >> 47;
+        w *= m;
+        h ^= w;
+        h *= m;
+    }
+    uint64_t tail = 0;
+    for (int64_t j = 0; i + j < n; ++j) {
+        tail |= static_cast<uint64_t>(buf[i + j]) << (8 * j);
+    }
+    h ^= tail;
+    h *= m;
+    h ^= h >> 47;
+    h *= m;
+    h ^= h >> 47;
+    return h;
+}
+
 }  // extern "C"

