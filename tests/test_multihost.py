@@ -72,6 +72,70 @@ def test_count_file_streams(corpus_file):
         assert sc.count_file(path).tolist() == sc.count(data).tolist()
 
 
+@pytest.mark.parametrize("k", [0, 1])
+def test_multihost_two_processes(tmp_path, k):
+    """REAL multi-process run: 2 spawned processes x 4 virtual devices,
+    jax.distributed over localhost — exercises the process bootstrap and
+    the make_array_from_single_device_arrays cross-process assembly
+    (the analog of database_over_ranks.c:119-166 multi-node semantics),
+    which round 1 only ever ran single-process."""
+    import socket
+    import subprocess
+    import sys
+
+    from apm.utils.corpus import plant, random_pattern
+
+    data = random_dna(6000, seed=131)
+    pat = random_pattern(24, seed=132)
+    if k > 0:
+        plant(data, pat, [400, 2900, 5200], k=k, seed=133)
+    path = str(tmp_path / "corpus.fa")
+    with open(path, "wb") as f:
+        f.write(data.tobytes())
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(__file__))
+    env.pop("XLA_FLAGS", None)
+    worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+    outs = [str(tmp_path / f"out{i}.json") for i in range(2)]
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable, worker, str(port), str(i), "2", path,
+                str(k), outs[i], pat.tobytes().decode(),
+            ],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, err
+
+    import json
+
+    want = count_matches(data, [pat], k)
+    for i in range(2):
+        with open(outs[i]) as f:
+            res = json.load(f)
+        assert res["process_count"] == 2
+        assert res["counts"] == want, (i, res, want)
+    if k > 0:
+        assert want[0] >= 3
+
+
 def test_multihost_filtration_with_plants(corpus_file):
     """File-backed filtration across the mesh: planted matches recovered."""
     from apm.utils.corpus import plant, random_pattern
