@@ -12,8 +12,10 @@ diff-based tests rely on, SURVEY.md §5):
 * banner — ``sequential.c:79-82`` (typo "Mathing" included, for diff parity);
 * ``APM done in %lf s`` — ``sequential.c:151``;
 * ``Number of matches for pattern <%s>: %d`` — ``sequential.c:157-160``
-  (pattern echoed verbatim; pass ``--truncate-echo`` for the parallel
-  variant's 100-char truncation, ``patterns_over_ranks.c:229``).
+  (pattern echoed verbatim; when a trailing strategy word selects the
+  parallel variant, the echo is truncated to 100 chars by default like
+  the reference parallel binary's ``%.100s`` — ``patterns_over_ranks.c:229``
+  — overridable with ``--[no-]truncate-echo``).
 
 The trailing strategy word maps the reference's explicit strategy override
 (``main.c:75-85``) onto the device-mesh strategies: ``DB_OVER_RANKS`` →
@@ -75,7 +77,7 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     # config-flag tier (replaces the reference's -D compile-time flags)
     cfg = ApmConfig()
-    truncate_echo = False
+    truncate_echo: Optional[bool] = None  # None = variant default
     positions = False
     rest: List[str] = []
     it = iter(range(len(argv)))
@@ -115,6 +117,9 @@ def main(argv: Optional[List[str]] = None) -> int:
         elif a == "--truncate-echo":
             truncate_echo = True
             i += 1
+        elif a == "--no-truncate-echo":
+            truncate_echo = False
+            i += 1
         elif a == "--positions":
             positions = True
             i += 1
@@ -127,6 +132,12 @@ def main(argv: Optional[List[str]] = None) -> int:
     if len(rest) >= 4 and rest[-1].upper() in _STRATEGY_WORDS:
         cfg.strategy = _STRATEGY_WORDS[rest[-1].upper()]
         rest = rest[:-1]
+        # The reference's PARALLEL binary truncates the pattern echo to 100
+        # chars unconditionally (%.100s, patterns_over_ranks.c:229); the
+        # sequential one echoes verbatim (sequential.c:157-160). Mirror the
+        # variant being invoked; --[no-]truncate-echo overrides.
+        if truncate_echo is None:
+            truncate_echo = True
 
     if len(rest) < 3:
         sys.stdout.write(_usage(prog))

@@ -98,6 +98,24 @@ class ScanPlan:
         return any(self.plens_dp)
 
 
+def check_dp_dtype(platform: str, dp_dtype: str, interpret: bool) -> None:
+    """Narrow DP dtypes are CPU/interpret-only test modes.
+
+    v5e Mosaic has no packed 16/8-bit vector compares ("Target does not
+    support this comparison" — DESIGN.md §1), and SWAR emulation (4 int8
+    cells per int32 lane) costs ~3x the ops for 4x the density: a net
+    loss for the ~5-op banded recurrence. Rather than advertise dead
+    options, TPU hardware rejects them up front.
+    """
+    if platform == "tpu" and not interpret and dp_dtype != "int32":
+        raise ValueError(
+            f"dp_dtype={dp_dtype!r} is not supported on TPU hardware "
+            "(no packed 16/8-bit vector compares on v5e; see DESIGN.md "
+            "§1). Use dp_dtype='int32' (the default); narrow dtypes "
+            "remain available under interpret=True for CPU testing."
+        )
+
+
 def make_plan(scanner: "Scanner", n: int, backend: Optional[str] = None) -> ScanPlan:
     """Compute the scan layout. ONE place for the halo and engine gating.
 
@@ -112,6 +130,14 @@ def make_plan(scanner: "Scanner", n: int, backend: Optional[str] = None) -> Scan
     from ..ops.pallas_kernel import _DTYPE_FOLD
 
     backend = backend or scanner._resolve_backend()
+    if backend == "pallas":
+        import jax
+
+        check_dp_dtype(
+            jax.devices()[0].platform,
+            scanner.config.dp_dtype,
+            scanner.config.interpret,
+        )
     k = scanner.k
     fold = _DTYPE_FOLD[scanner.config.dp_dtype]
     w = round_up(

@@ -204,7 +204,9 @@ class Scanner:
                     total -= old.nbytes
         return drows
 
-    def _count_pallas(self, buf: np.ndarray, n: int) -> np.ndarray:
+    def _count_pallas(
+        self, buf: np.ndarray, n: int, fp: object = "auto"
+    ) -> np.ndarray:
         """Single-device Pallas scan: filtration + banded DP, chunked.
 
         Patterns are partitioned by :func:`apm.ops.filter_kernel.
@@ -251,10 +253,13 @@ class Scanner:
         dpat = jax.numpy.asarray(self._pat)
         dpat_raw = jax.numpy.asarray(self._pat_raw)
         dbound = jax.numpy.asarray(dev_bound, dtype=np.int32)
-        fp = self._fingerprint(buf) if self.config.cache_corpus else None
+        if fp == "auto":
+            fp = (
+                self._fingerprint(buf) if self.config.cache_corpus else None
+            )
 
         handles = []  # (P,)-shaped device counts, fetched after the loop
-        fchunks = []
+        raw_chunks = []  # (c0, packed handle, rowmap handle)
         for c0 in range(0, dev_bound, chunk_win):
             drows = self._staged_rows(buf, fp, c0, n_rows, wf, halo)
             dc0 = jax.numpy.asarray(c0, dtype=np.int32)
@@ -277,18 +282,38 @@ class Scanner:
                     )
                     handles.append(fcnt)  # exact: candidates ARE matches
                 else:
-                    fcnt, vcnt, n_hot, clip, rowmap = filter_verify_chunk(
+                    packed, rowmap = filter_verify_chunk(
                         drows, dpat_raw, dpat, dbound, dc0,
                         k=k, m_max=self.m_max, wf=wf, halo=halo,
                         plens=plan.plens_filter,
                         dp_dtype=self.config.dp_dtype,
                         interpret=self.config.interpret,
                     )
-                    fchunks.append(
-                        FilterChunk(c0, fcnt, vcnt, n_hot, clip, rowmap)
-                    )
+                    raw_chunks.append((c0, packed, rowmap))
+
+        # ONE device->host fetch for all per-chunk vectors: each fetch is
+        # a full link round trip, so everything rides one stacked array.
+        from ..ops.fused import unpack_chunk
+
+        small = [h for h in handles]
+        small += [pk for _, pk, _ in raw_chunks]
+        fetched = (
+            np.asarray(jax.numpy.concatenate([s.ravel() for s in small]))
+            if small
+            else np.zeros((0,), dtype=np.int64)
+        )
+        off = 0
         for h in handles:
-            counts += np.asarray(h)
+            counts += fetched[off : off + p_pad]
+            off += p_pad
+        fchunks = []
+        for c0, pk, rowmap in raw_chunks:
+            ln = pk.shape[0]
+            fcnt, vcnt, n_hot, clip = unpack_chunk(
+                fetched[off : off + ln], p_pad
+            )
+            off += ln
+            fchunks.append(FilterChunk(c0, fcnt, vcnt, n_hot, clip, rowmap))
 
         if fchunks:
 
@@ -317,6 +342,26 @@ class Scanner:
             buf, dev_bound
         )
         return counts
+
+    def _pattern_shard_scanners(self, groups) -> List["Scanner"]:
+        """Sub-scanners over pattern index groups (patterns_over_devices).
+
+        Cached on the parent so repeated ``count()`` calls reuse each
+        sub-scanner's device-resident corpus cache and compiled kernels.
+        """
+        key = tuple(tuple(g) for g in groups)
+        if getattr(self, "_shard_scanners_key", None) == key:
+            return self._shard_scanners
+        from dataclasses import replace
+
+        cfg = replace(self.config, strategy="single", dedup_patterns=False)
+        subs = [
+            Scanner([self.scan_patterns.raw[i] for i in g], self.k, cfg)
+            for g in groups
+        ]
+        self._shard_scanners_key = key
+        self._shard_scanners = subs
+        return subs
 
     def _count_single(self, buf: np.ndarray) -> np.ndarray:
         n = len(buf)
@@ -392,14 +437,14 @@ class Scanner:
                 )
                 np.asarray(fcnt)
             else:
-                fcnt, vcnt, *_ = filter_verify_chunk(
+                packed, _ = filter_verify_chunk(
                     rows, jax.numpy.asarray(self._pat_raw),
                     jax.numpy.asarray(self._pat), zero32, zero32,
                     k=k, m_max=self.m_max, wf=wf, halo=halo,
                     plens=plan.plens_filter, dp_dtype=self.config.dp_dtype,
                     interpret=self.config.interpret,
                 )
-                np.asarray(fcnt), np.asarray(vcnt)
+                np.asarray(packed)
 
     def find(self, corpus: Bytes, limit: Optional[int] = None):
         """Match *positions*, not just counts — beyond the reference's API.

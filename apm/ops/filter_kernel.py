@@ -59,10 +59,22 @@ def shift_range(o: int, li: int, m: int, k: int):
 
 def filter_eligible(m: int, k: int) -> bool:
     """Filtration applies when pieces are long enough to be selective and
-    to keep the pre-rotated text reads off the wrapped lanes."""
+    to keep the pre-rotated text reads off the wrapped lanes.
+
+    The phase-1 AND-chain cost is ~independent of k (each pattern char is
+    processed once; only the shift-OR grows, by 2k+1 ops per piece), so
+    what bounds k is *selectivity*: a random window triggers a piece with
+    probability ~ (k+1)(2k+1) / alphabet^piece_len, and a staging row
+    (wf ~ 8k windows) must stay cold for verification to pay. piece_len
+    >= 8 keeps DNA rows cold through k = 4 (round-1 measured); k in
+    [5, 8] needs piece_len >= 14 ((9)(17)/4^14 ~ 6e-7 per window). The
+    density fallback still protects pathological corpora either way.
+    """
     if k == 0:
         return m >= 1
-    return 1 <= k <= 4 and m // (k + 1) >= max(k, 8)
+    if 1 <= k <= 4:
+        return m // (k + 1) >= max(k, 8)
+    return 5 <= k <= 8 and m // (k + 1) >= 14
 
 
 def partition_plens(plens: tuple, k: int, engine: str):

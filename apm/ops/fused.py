@@ -74,16 +74,21 @@ def filter_verify_chunk(
 ):
     """One-call phase 1 + phase 2 for one staged chunk (k >= 1).
 
-    Returns ``(fcnt, vcnt, n_hot, clip_starts, rowmap)``:
+    Returns ``(packed, rowmap)``. ``packed`` is ONE int32 vector — a
+    device→host fetch costs a full link round trip (~20-30 ms on tunneled
+    testbeds), so everything the host needs is packed into a single
+    array, layout ``[fcnt (P) | vcnt (P) | n_hot (1) | clip_starts
+    (MAX_CLIP)]``:
 
-    * ``fcnt`` (P,) int32 — phase-1 candidate totals;
-    * ``vcnt`` (P,) int32 — exact match counts over the first ``max_hot``
-      *full* hot rows (complete iff ``n_hot <= max_hot``);
-    * ``n_hot`` () int32 — true number of full hot rows in this chunk;
-    * ``clip_starts`` (MAX_CLIP,) int32 — global window starts of hot rows
-      clipped by ``bound`` (−1 padding); verified host-side;
-    * ``rowmap`` (R, P) int32 — phase-1 row map, left on device; fetched
-      only for overflow recovery.
+    * ``fcnt`` — phase-1 candidate totals;
+    * ``vcnt`` — exact match counts over the first ``max_hot`` *full* hot
+      rows (complete iff ``n_hot <= max_hot``);
+    * ``n_hot`` — true number of full hot rows in this chunk;
+    * ``clip_starts`` — global window starts of hot rows clipped by
+      ``bound`` (−1 padding); verified host-side.
+
+    ``rowmap`` (R, P) int32 is the phase-1 row map, left on device;
+    fetched only for overflow recovery.
 
     Verification runs over the *union* of hot rows with all ``plens``
     patterns: a row hot only for pattern A contributes zero to pattern B,
@@ -123,4 +128,25 @@ def filter_verify_chunk(
     clip_starts = jnp.where(
         clip_idx >= 0, start + clip_idx.astype(jnp.int32) * wf, -1
     )
-    return fcnt, vcnt, n_hot, clip_starts, rowmap
+    packed = jnp.concatenate(
+        [
+            fcnt.astype(jnp.int32),
+            vcnt.astype(jnp.int32),
+            n_hot.reshape(1),
+            clip_starts,
+        ]
+    )
+    return packed, rowmap
+
+
+def unpack_chunk(packed, p: int):
+    """Split a fetched ``packed`` vector back into its four parts."""
+    import numpy as np
+
+    packed = np.asarray(packed)
+    return (
+        packed[:p],
+        packed[p : 2 * p],
+        int(packed[2 * p]),
+        packed[2 * p + 1 : 2 * p + 1 + MAX_CLIP],
+    )

@@ -172,7 +172,7 @@ def count_multihost(scanner: "Scanner", path: str) -> np.ndarray:
                 )
                 counts += np.asarray(fcnt)
             else:
-                fcnt, vcnt, n_hots, clips, rowmaps = _filter_verify_sharded(
+                packed, rowmaps = _filter_verify_sharded(
                     shards, starts, dpat_raw, dpat, dbound,
                     mesh=mesh, k=k, m_max=m_max, w=wf, halo=halo,
                     plens=plan.plens_filter,
@@ -190,8 +190,11 @@ def count_multihost(scanner: "Scanner", path: str) -> np.ndarray:
                     return rm_cache["rm"][d]
 
                 single_proc = jax.process_count() == 1
-                n_hots = np.asarray(n_hots)
-                clips = np.asarray(clips)
+                from .strategies import _unpack_sharded
+
+                fcnt, vcnt, n_hots, clips = _unpack_sharded(
+                    packed, p_pad, n_dev
+                )
                 fchunks = [
                     FilterChunk(
                         gi * s,

@@ -121,24 +121,32 @@ def _filter_verify_sharded(
     per-pattern candidate and verified totals ride one ``psum`` each, and
     the tiny per-shard hot-row counts / clipped-row starts are
     ``all_gather``-replicated so every process sees identical values (no
-    host ever reads another host's shard). Row maps stay device-sharded —
-    fetched only by single-process overflow recovery.
+    host ever reads another host's shard). Everything the host needs
+    comes back as ONE replicated int32 vector — layout ``[fcnt (P) |
+    vcnt (P) | n_hot (D) | clip_starts (D*MAX_CLIP)]`` — so it costs one
+    fetch. Row maps stay device-sharded, fetched only by single-process
+    overflow recovery.
     """
     from ..ops.fused import filter_verify_chunk
 
     def body(shard, start, pat_raw, pat, bound):
-        fcnt, vcnt, n_hot, clip_starts, rowmap = filter_verify_chunk(
+        packed, rowmap = filter_verify_chunk(
             shard[0], pat_raw, pat, bound, start[0],
             k=k, m_max=m_max, wf=w, halo=halo, plens=plens,
             dp_dtype=dp_dtype, interpret=interpret,
         )
-        return (
-            jax.lax.psum(fcnt, "data"),
-            jax.lax.psum(vcnt, "data"),
-            jax.lax.all_gather(n_hot, "data"),
-            jax.lax.all_gather(clip_starts, "data"),
-            rowmap[None],
+        p = pat_raw.shape[0]
+        fcnt, vcnt = packed[:p], packed[p : 2 * p]
+        n_hot, clip_starts = packed[2 * p : 2 * p + 1], packed[2 * p + 1 :]
+        out = jnp.concatenate(
+            [
+                jax.lax.psum(fcnt, "data"),
+                jax.lax.psum(vcnt, "data"),
+                jax.lax.all_gather(n_hot, "data").reshape(-1),
+                jax.lax.all_gather(clip_starts, "data").reshape(-1),
+            ]
         )
+        return out, rowmap[None]
 
     return jax.shard_map(
         body,
@@ -147,12 +155,22 @@ def _filter_verify_sharded(
             P("data", None, None), P("data"), P(None, None), P(None, None),
             P(),
         ),
-        out_specs=(
-            P(None), P(None), P(None), P(None, None),
-            P("data", None, None),
-        ),
+        out_specs=(P(None), P("data", None, None)),
         check_vma=False,
     )(shards, starts, pat_raw, pat, bound)
+
+
+def _unpack_sharded(packed, p: int, n_dev: int):
+    """Split a fetched sharded ``packed`` vector: (fcnt, vcnt, n_hots (D,),
+    clip_starts (D, MAX_CLIP))."""
+    from ..ops.fused import MAX_CLIP
+
+    packed = np.asarray(packed)
+    fcnt = packed[:p]
+    vcnt = packed[p : 2 * p]
+    n_hots = packed[2 * p : 2 * p + n_dev]
+    clips = packed[2 * p + n_dev :].reshape(n_dev, MAX_CLIP)
+    return fcnt, vcnt, n_hots, clips
 
 
 @functools.partial(
@@ -254,14 +272,12 @@ def count_database_over_devices(scanner: "Scanner", buf: np.ndarray, n_dev: int)
                     )
                     counts += np.asarray(fcnt)
                 else:
-                    fcnt, vcnt, n_hots, clips, rowmaps = (
-                        _filter_verify_sharded(
-                            dshards, dstarts, dpat_raw, dpat, dbound,
-                            mesh=mesh, k=k, m_max=m_max, w=wf, halo=halo,
-                            plens=plan.plens_filter,
-                            dp_dtype=scanner.config.dp_dtype,
-                            interpret=scanner.config.interpret,
-                        )
+                    packed, rowmaps = _filter_verify_sharded(
+                        dshards, dstarts, dpat_raw, dpat, dbound,
+                        mesh=mesh, k=k, m_max=m_max, w=wf, halo=halo,
+                        plens=plan.plens_filter,
+                        dp_dtype=scanner.config.dp_dtype,
+                        interpret=scanner.config.interpret,
                     )
                     rm_cache: dict = {}
 
@@ -270,8 +286,9 @@ def count_database_over_devices(scanner: "Scanner", buf: np.ndarray, n_dev: int)
                             rm_cache["rm"] = np.asarray(rowmaps)
                         return rm_cache["rm"][d]
 
-                    n_hots = np.asarray(n_hots)
-                    clips = np.asarray(clips)
+                    fcnt, vcnt, n_hots, clips = _unpack_sharded(
+                        packed, p_pad, n_dev
+                    )
                     fchunks = [
                         FilterChunk(
                             d * s,
@@ -326,14 +343,70 @@ def count_database_over_devices(scanner: "Scanner", buf: np.ndarray, n_dev: int)
     return np.asarray(dev).astype(np.int64)
 
 
+def _pattern_groups(scanner: "Scanner", n_dev: int):
+    """Length-balanced pattern assignment: greedy least-loaded binning by
+    pattern length (scan cost per pattern is ~linear in m for both the
+    banded and filtration kernels)."""
+    p = scanner.scan_patterns.num_patterns
+    n_use = max(1, min(n_dev, p))
+    order = sorted(range(p), key=lambda i: -len(scanner.scan_patterns.raw[i]))
+    groups = [[] for _ in range(n_use)]
+    loads = [0] * n_use
+    for i in order:
+        d = loads.index(min(loads))
+        groups[d].append(i)
+        loads[d] += max(len(scanner.scan_patterns.raw[i]), 1)
+    return [sorted(g) for g in groups]
+
+
 def count_patterns_over_devices(scanner: "Scanner", buf: np.ndarray, n_dev: int) -> np.ndarray:
-    """Shard the pattern axis over ``n_dev`` devices; corpus replicated."""
+    """Shard the pattern axis over ``n_dev`` devices; corpus replicated.
+
+    Pallas backend: placement-parallel per-device scans. ``shard_map``
+    traces ONE body for every device, which would force the generic
+    dynamic-length kernel — but reference strategy A has *zero* runtime
+    communication (each rank owns its patterns end to end,
+    ``patterns_over_ranks.c:139-207``), so nothing requires a single
+    program. Instead each device gets a length-balanced pattern group and
+    runs the FULL single-device pipeline (length-segmented unrolled DP +
+    fused filtration, static lengths per group) with its inputs placed on
+    that device; dispatch happens from one thread per device so device
+    work overlaps, and only the tiny per-group count vectors come back.
+    """
     k, m_max = scanner.k, scanner.m_max
     backend = scanner._resolve_backend()
     n = len(buf)
     w = scanner.block_windows_for(n)
 
-    # Pad the pattern axis so it splits evenly into sublane-aligned shards.
+    if backend == "pallas":
+        from concurrent.futures import ThreadPoolExecutor
+
+        groups = _pattern_groups(scanner, n_dev)
+        devices = jax.devices()[: len(groups)]
+        subs = scanner._pattern_shard_scanners(groups)
+        fp = (
+            scanner._fingerprint(buf)
+            if scanner.config.cache_corpus
+            else None
+        )
+
+        def run(d: int) -> np.ndarray:
+            with jax.default_device(devices[d]):
+                return subs[d]._count_pallas(buf, n, fp=fp)
+
+        if len(groups) == 1:
+            outs = [run(0)]
+        else:
+            with ThreadPoolExecutor(len(groups)) as ex:
+                outs = list(ex.map(run, range(len(groups))))
+        counts = np.zeros((scanner._pat.shape[0],), dtype=np.int64)
+        for d, g in enumerate(groups):
+            for slot, pi in enumerate(g):
+                counts[pi] = outs[d][slot]
+        return counts
+
+    # XLA backend: one GSPMD program, pattern axis sharded (dynamic
+    # lengths are free here).
     p_pad = scanner._pat.shape[0]
     p_shard = round_up(p_pad, 8 * n_dev)
     pat = np.zeros((p_shard, scanner._pat.shape[1]), dtype=np.uint8)
@@ -346,30 +419,6 @@ def count_patterns_over_devices(scanner: "Scanner", buf: np.ndarray, n_dev: int)
     dpat = jax.device_put(pat, NamedSharding(mesh, P("pat", None)))
     dplen = jax.device_put(plen, NamedSharding(mesh, P("pat")))
     rep = NamedSharding(mesh, P())
-
-    counts = np.zeros((p_shard,), dtype=np.int64)
-    if backend == "pallas":
-        from ..ops.pallas_kernel import FOLD
-
-        w = round_up(w, FOLD * 128)
-        wf = w // FOLD
-        halo = round_up(m_max, 128)
-        dev_bound = scanner.device_window_bound(n)
-        if dev_bound > 0:
-            n_rows = max(FOLD, round_up(_cdiv(dev_bound, wf), FOLD))
-            rows = fold_corpus(buf, 0, n_rows, wf, halo)
-            dev = _patterns_sharded(
-                jax.device_put(rows, NamedSharding(mesh, P(None, None))),
-                dpat, dplen,
-                jax.device_put(np.int32(dev_bound), rep),
-                mesh=mesh, backend=backend, k=k, m_max=m_max, w=wf, halo=halo,
-                interpret=scanner.config.interpret,
-            )
-            counts += np.asarray(dev)
-        counts[: scanner.scan_patterns.num_patterns] += scanner.tail_counts(
-            buf, dev_bound
-        )
-        return counts
 
     n_pad = max(round_up(max(n - k, 0), w), w)
     corpus = pad_corpus(buf, n_pad, m_max)

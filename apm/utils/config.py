@@ -42,9 +42,10 @@ class ApmConfig:
     # for eligible patterns and the banded DP kernel for the rest; "dp"
     # forces the banded kernel everywhere.
     engine: str = "auto"
-    # DP cell dtype for the Pallas kernel: "int32", "int16", or "int8".
-    # Narrower cells double/quadruple VPU element throughput; the <= k
-    # verdict is exact for all of them (int8 re-enables clamping at k+1).
+    # DP cell dtype for the Pallas kernel: "int32" (the only option on TPU
+    # hardware — v5e has no packed 16/8-bit vector compares, DESIGN.md §1),
+    # or "int16"/"int8" as CPU/interpret-mode test layouts (the <= k verdict
+    # is exact for all of them; int8 re-enables clamping at k+1).
     dp_dtype: str = "int32"
     # Keep the staged corpus device-resident between count() calls (keyed by
     # a full-content hash) so repeated scans skip host->device transfer.

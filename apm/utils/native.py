@@ -26,7 +26,7 @@ _load_attempted = False
 def build(verbose: bool = False) -> str:
     """Compile native/apmio.cpp into libapmio.so. Returns the library path."""
     src = os.path.join(_NATIVE_DIR, "apmio.cpp")
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", src, "-o", _LIB_PATH]
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread", src, "-o", _LIB_PATH]
     if verbose:
         print("+", " ".join(cmd), file=sys.stderr)
     subprocess.run(cmd, check=True)
@@ -101,6 +101,12 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_int64,
     ]
     lib.apmio_hash.restype = ctypes.c_uint64
+    lib.apmio_hash_par.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64,
+        ctypes.c_int32,
+    ]
+    lib.apmio_hash_par.restype = ctypes.c_uint64
     _lib = lib
     return _lib
 
@@ -220,14 +226,22 @@ def banded_count(
 
 
 def hash_bytes(buf: np.ndarray) -> int:
-    """Full-content 64-bit hash (MurmurHash64A mixing), one native pass."""
+    """Full-content 64-bit hash (MurmurHash64A mixing).
+
+    Large buffers are hashed in parallel stripes (the hash gates the
+    device-corpus cache probe, so it sits on every cached scan's critical
+    path); the ctypes call releases the GIL for the duration.
+    """
     lib = _load()
     if lib is None:
         raise RuntimeError("native apmio library not available")
     buf = np.ascontiguousarray(buf, dtype=np.uint8)
+    threads = min(16, os.cpu_count() or 1)
     return int(
-        lib.apmio_hash(
-            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(buf)
+        lib.apmio_hash_par(
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            len(buf),
+            threads,
         )
     )
 

@@ -23,11 +23,92 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def run_scaling(args, jax, np, apm, ApmConfig) -> int:
+    """Scaling-efficiency sweep: bytes/s vs device count per strategy.
+
+    The analog of the reference's entire ``scripts/{medium,big}/**`` ranks x
+    threads suite (104 SLURM scripts) whose output is BASELINE.md's
+    "scaling shape" row. On the virtual CPU mesh the devices share the same
+    physical cores, so wall-clock cannot *improve* with n_dev — what this
+    measures there is the *partitioning overhead shape* (halo staging,
+    psum, shard assembly): efficiency(n) = T(1) / T(n), ideal = 1.0. On
+    real multi-chip hardware the same sweep measures true scaling
+    (efficiency(n) = T(1) / (T(n)) with per-device throughput rising
+    toward n x single-chip).
+    """
+    import time
+
+    backend = "xla" if jax.devices()[0].platform == "cpu" else "pallas"
+    n_avail = len(jax.devices())
+    devices = [d for d in (1, 2, 4, 8) if d <= n_avail]
+    size = (1 << 20) if args.quick else (32 << 20)
+    rng = np.random.default_rng(1)
+    alpha = np.frombuffer(b"ACGT\n", dtype=np.uint8)
+    corpus = alpha[rng.integers(0, 5, size=size)]
+    pats = [alpha[rng.integers(0, 5, size=50)] for _ in range(16)]
+
+    out_f = open(args.out, "w") if args.out else None
+    results = []
+    for strategy in ("database_over_devices", "patterns_over_devices"):
+        base_t = None
+        for n_dev in devices:
+            cfg = ApmConfig(
+                backend=backend,
+                strategy="single" if n_dev == 1 else strategy,
+                max_devices=n_dev,
+            )
+            sc = apm.Scanner(pats, 1, cfg)
+            sc.count(corpus)  # compile + warm
+            ts = []
+            for _ in range(args.reps):
+                t0 = time.perf_counter()
+                sc.count(corpus)
+                ts.append(time.perf_counter() - t0)
+            best = min(ts)
+            if n_dev == 1:
+                base_t = best
+            rec = {
+                "mode": "scaling",
+                "strategy": strategy,
+                "devices": n_dev,
+                "bytes": size,
+                "patterns": len(pats),
+                "k": 1,
+                "backend": backend,
+                "platform": jax.devices()[0].platform,
+                "seconds": round(best, 5),
+                "mb_per_s": round(size / best / 1e6, 2),
+                "efficiency_vs_1dev": round(base_t / best, 3),
+            }
+            results.append(rec)
+            line = json.dumps(rec)
+            print(line, flush=True)
+            if out_f:
+                out_f.write(line + "\n")
+                out_f.flush()
+    if out_f:
+        out_f.close()
+    print("\n| strategy | devices | MB/s | efficiency |")
+    print("|---|---|---|---|")
+    for r in results:
+        print(
+            f"| {r['strategy']} | {r['devices']} | {r['mb_per_s']} "
+            f"| {r['efficiency_vs_1dev']} |"
+        )
+    return 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="tiny grid")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--out", default=None, help="write JSONL to this path")
+    ap.add_argument(
+        "--scaling",
+        action="store_true",
+        help="device-count x strategy scaling sweep instead of the "
+        "corpus x P x k grid",
+    )
     args = ap.parse_args()
 
     import jax
@@ -46,6 +127,9 @@ def main() -> int:
     import apm
     from apm.utils.config import ApmConfig
     from apm.utils.oracle import count_matches
+
+    if args.scaling:
+        return run_scaling(args, jax, np, apm, ApmConfig)
 
     rng = np.random.default_rng(0)
     alpha = np.frombuffer(b"ACGT\n", dtype=np.uint8)

