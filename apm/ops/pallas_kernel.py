@@ -142,10 +142,12 @@ def _scan_kernel(
 
 
 def _scan_kernel_unrolled(
-    meta_ref,  # SMEM (1, 2) int32 — [window bound (global), global start]
+    meta_ref,  # SMEM (1, 2) int32 — [window bound (global), global start];
+    # batch mode: (nblk, 2), PER-BLOCK [bound, start]
     pchar_ref,  # SMEM (P, m_max + 2k) int32 — k-padded pattern chars
     corpus_ref,  # VMEM (fold, wf + halo) uint8 — this block's text rows
-    out_ref,  # VMEM (P * fold, 1) int32 — per-row match counts
+    out_ref,  # VMEM (P * fold, 1) int32 — per-row match counts (batch
+    # mode: this BLOCK's counts — each block owns its own output slot)
     *,
     k: int,
     m_max: int,
@@ -153,6 +155,7 @@ def _scan_kernel_unrolled(
     plens: tuple,  # static per-pattern lengths (0 = padding row, skipped)
     fold: int,  # window-axis fold onto sublanes (8/16/32 for i32/i16/i8)
     dtype,  # DP cell dtype: jnp.int32 / jnp.int16 / jnp.int8
+    batch: bool = False,  # per-block meta + per-block outputs
 ):
     """Pattern-unrolled, length-segmented variant.
 
@@ -192,18 +195,28 @@ def _scan_kernel_unrolled(
         return
     m_top = active[-1]
 
-    @pl.when(i == 0)
-    def _():
+    if batch:
+        # Each block owns its own output slot; zero it unconditionally.
         out_ref[:] = jnp.zeros_like(out_ref)
+        bound = meta_ref[i, 0]
+        start = meta_ref[i, 1]  # absolute virtual index of this block
+        base = start
+    else:
+
+        @pl.when(i == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        bound = meta_ref[0, 0]
+        start = meta_ref[0, 1]
+        base = i * w + start
 
     text0 = corpus_ref[:].astype(jnp.int32)  # (fold, wpf)
 
-    bound = meta_ref[0, 0]
-    start = meta_ref[0, 1]
     win = (
         jax.lax.broadcasted_iota(jnp.int32, (fold, wf), 0) * wf
         + jax.lax.broadcasted_iota(jnp.int32, (fold, wf), 1)
-        + (i * w + start)
+        + base
     )
     valid = win < bound  # (fold, wf)
 
@@ -386,6 +399,90 @@ def scan_folded_pallas_unrolled(
         interpret=interpret,
     )(meta, pchar, corpus_rows)
     return jnp.sum(counts.reshape(p, fold), axis=1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "m_max", "wf", "halo", "plens", "dp_dtype", "interpret"
+    ),
+)
+def scan_folded_pallas_batch(
+    corpus_rows: jax.Array,  # (R, wf + halo) uint8 — folded rows, many corpora
+    pat: jax.Array,  # (P, m_max + 2k) uint8 — k-padded pattern table
+    meta: jax.Array,  # (R // fold, 2) int32 — PER-BLOCK [bound, start]
+    *,
+    k: int,
+    m_max: int,
+    wf: int,
+    halo: int,
+    plens: tuple,
+    dp_dtype: str = "int32",
+    interpret: bool = False,
+) -> jax.Array:
+    """Batched scan: many independent corpora in ONE kernel call.
+
+    Serving workloads scan many small corpora; per-call dispatch latency
+    (~30-40 ms over a tunneled link) floors their throughput. Here each
+    corpus occupies a contiguous run of blocks in a shared *virtual window
+    space*: block ``b`` scans windows ``[meta[b,1], meta[b,1] + w)`` and
+    masks them against the owning corpus's bound ``meta[b,0]`` — so one
+    grid sweep serves the whole batch, and the per-BLOCK count output
+    ``(nblk, P)`` lets the host split totals back per corpus. Padding
+    blocks carry ``bound = 0`` (every window invalid, zero counts).
+    """
+    p = pat.shape[0]
+    fold = _DTYPE_FOLD[dp_dtype]
+    dtype = jnp.dtype(dp_dtype).type
+    r_rows, wpf = corpus_rows.shape
+    assert wpf == wf + halo, (wpf, wf, halo)
+    assert halo >= m_max - 1, (halo, m_max)
+    assert r_rows % fold == 0 and r_rows > 0, (r_rows, fold)
+    assert len(plens) == p
+    nblk = r_rows // fold
+    assert meta.shape == (nblk, 2), (meta.shape, nblk)
+    bw = 2 * k + 1
+
+    pchar = pat.astype(jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # per-block meta
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # pattern chars
+            pl.BlockSpec((fold, wpf), lambda i: (i, 0)),  # corpus rows
+        ],
+        out_specs=pl.BlockSpec(
+            (p * fold, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+    )
+
+    counts = pl.pallas_call(
+        functools.partial(
+            _scan_kernel_unrolled,
+            k=k,
+            m_max=m_max,
+            wf=wf,
+            plens=plens,
+            fold=fold,
+            dtype=dtype,
+            batch=True,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nblk * p * fold, 1), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=nblk * m_max * bw * p * fold * wf * 5,
+            bytes_accessed=r_rows * wpf + nblk * p * fold * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(meta.astype(jnp.int32), pchar, corpus_rows)
+    # (nblk, P): per-block per-pattern counts
+    return jnp.sum(counts.reshape(nblk, p, fold), axis=2)
 
 
 @functools.partial(

@@ -53,6 +53,11 @@ class ApmConfig:
     # Byte budget for the device-resident corpus cache. None = a quarter of
     # the device's reported HBM (fallback 4 GiB when unknown).
     cache_bytes: Optional[int] = None
+    # Blocks per count_batch kernel call (group bucket). None = 128: groups
+    # dispatch back-to-back so staging/transfer of group g+1 overlaps the
+    # kernel on group g. Raise on transfer-starved links, lower for small
+    # batches to cut padding.
+    batch_blocks: Optional[int] = None
 
     def validate(self) -> "ApmConfig":
         if self.backend not in ("auto", "pallas", "xla"):
@@ -70,6 +75,8 @@ class ApmConfig:
             raise ValueError(f"unknown dp_dtype {self.dp_dtype!r}")
         if self.cache_bytes is not None and self.cache_bytes < 0:
             raise ValueError("cache_bytes must be >= 0")
+        if self.batch_blocks is not None and self.batch_blocks <= 0:
+            raise ValueError("batch_blocks must be > 0")
         if self.block_windows is not None and (
             self.block_windows % 128 != 0 or self.block_windows <= 0
         ):
