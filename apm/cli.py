@@ -80,7 +80,6 @@ def main(argv: Optional[List[str]] = None) -> int:
     truncate_echo: Optional[bool] = None  # None = variant default
     positions = False
     rest: List[str] = []
-    it = iter(range(len(argv)))
     i = 0
     while i < len(argv):
         a = argv[i]

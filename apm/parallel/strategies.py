@@ -178,18 +178,16 @@ def _unpack_sharded(packed, p: int, n_dev: int):
     static_argnames=("mesh", "backend", "k", "m_max", "w", "halo", "interpret"),
 )
 def _patterns_sharded(corpus, pat, plen, bound, *, mesh, backend, k, m_max, w, halo, interpret):
-    # NB: shard_map traces the body once for every device, but each device
-    # holds a *different* slice of the pattern table — so this strategy uses
-    # the generic (dynamic pattern-length) kernel, not the length-segmented
-    # one whose lengths are trace-time constants.
-    def body(corpus, pat, plen, bound):
-        if backend == "pallas":
-            from ..ops.pallas_kernel import scan_folded_pallas
+    """XLA-backend pattern-axis sharding (dynamic lengths are free there).
 
-            return scan_folded_pallas(
-                corpus, pat, plen, bound, jnp.int32(0),
-                k=k, m_max=m_max, wf=w, halo=halo, interpret=interpret,
-            )
+    The Pallas backend does NOT go through here: ``shard_map`` traces one
+    body for every device, which would force the generic dynamic-length
+    kernel — ``count_patterns_over_devices`` uses placement-parallel
+    per-device dispatch with static lengths instead.
+    """
+    del backend  # only the XLA engine runs under shard_map
+
+    def body(corpus, pat, plen, bound):
         from ..ops.xla_engine import scan_corpus_xla
 
         return scan_corpus_xla(
