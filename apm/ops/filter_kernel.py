@@ -1,16 +1,36 @@
-"""Pallas pigeonhole-filtration kernel: exact-piece candidate scan.
+"""Pallas pigeonhole-filtration kernel: piece-based candidate scan.
 
-The classic filtration theorem (Navarro's taxonomy; used by nrgrep/agrep):
-split a pattern of length ``m`` into ``k + 1`` contiguous pieces — any
-equal-length window within edit distance ``k`` must contain at least one
-piece *exactly*, at an offset shifted from the piece's home position by at
-most ``k`` (each unit of shift costs one indel). Phase 1 therefore runs a
-cheap exact-match AND-chain per piece (2 VPU ops per DP step instead of the
-banded kernel's ~20) and ORs the shifted piece hits into a candidate mask;
-phase 2 (in apm.models.scanner) verifies the rare candidates with the NumPy
-oracle, one staging row (wf windows) at a time. For ``k = 0`` the single
-"piece" is the whole pattern and the candidate mask IS the answer — no
-verification.
+The filtration theorem (Navarro's taxonomy; used by nrgrep/agrep): split a
+pattern of length ``m`` into ``j`` contiguous pieces — any equal-length
+window within edit distance ``k`` induces a partition of the window into
+``j`` aligned substrings whose edit distances sum to <= ``k``, so some
+piece matches its aligned substring with at most ``floor(k / j)`` errors.
+Two tiers instantiate this:
+
+* **exact tier** (``j = k + 1`` pieces, ``kp = 0`` errors each): a cheap
+  exact-match mismatch-count chain per piece (~2 VPU ops per DP step
+  instead of the banded kernel's ~5 per band cell x ``2k+1`` cells);
+* **banded tier** (``j = k//2 + 1`` pieces, ``kp = 1`` error each): a
+  width-3 pinned-start banded DP per piece (~12 ops per step) — covers
+  mid-length patterns at k >= 5 whose ``k+1``-way split would make pieces
+  too short to be selective.
+
+Both tiers are the same machinery: a piece at offset ``o``, length ``li``
+carries ``2*kp + 1`` DP band lanes ``D[t + d][t]`` (pattern-local row,
+text column, ``|d| <= kp``) pinned at start position = lane; its verdict
+is ``min over end drift d`` of ``D[li][li + d] <= kp``, captured at steps
+``o + li - kp .. o + li + kp``. ``kp = 0`` degenerates to the mismatch
+counter and a single capture. Piece hits are OR-folded into the candidate
+mask over the allowed occurrence shifts; because windows have length
+exactly ``m`` (``sequential.c:131`` semantics), the FIRST piece's aligned
+substring starts at the window start (shift 0 only) and the LAST piece's
+ends at the window end (shift ``|s| <= kp``) — both endpoints are pinned,
+which prunes most of the shift-OR and its false positives. Middle pieces
+drift by up to ``min(o, k)`` left / ``min(k, m - o - li + kp)`` right.
+
+Phase 2 (apm.ops.fused / apm.models.pipeline) verifies the rare candidate
+rows with the banded DP kernel. For ``k = 0`` the single "piece" is the
+whole pattern and the candidate mask IS the answer — no verification.
 
 The reference has no analog of this; its kernels always run the full
 O(m^2) DP per window (``src/utils.c:76-99``).
@@ -22,9 +42,11 @@ tiles roll one lane per step: ``text`` (piece 0 reads it at lane = window
 position) and ``text_k`` = text pre-rotated by ``k`` (pieces >= 1 read it,
 storing their hit mask at lane = position + k so the negative shifts of the
 OR-combine become non-negative static slices; ``halo >= m + 2k`` keeps the
-rotation's wrapped lanes out of every read). Piece boundaries are static
-(pattern lengths are trace-time constants), so the step loop is segmented
-exactly like the banded kernel and piece-mask capture costs nothing.
+rotation's wrapped lanes out of every *used* lane — lanes below ``k - o``
+are wrapped garbage but excluded by the shift clamp ``s >= -o``). Piece
+boundaries are static (pattern lengths are trace-time constants), so the
+step loop is segmented at the union of capture steps; single-step segments
+inline without a loop.
 
 Outputs are deliberately tiny (the device sits behind whatever link the
 host has): accumulated per-pattern totals plus a per-(staging row, pattern)
@@ -44,37 +66,82 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 FOLD = 8  # fold-8 int32 layout, same as the banded kernel
+INF = 1 << 20  # additive-safe infinity for out-of-band piece-DP cells
+K_MAX = 16  # filtration eligibility cap (both tiers)
+
+# Minimum piece length per tier: the phase-1 cost is ~independent of k
+# (each pattern char is processed once), so what bounds eligibility is
+# *selectivity* — a staging row (wf ~ 8k windows) must stay cold for
+# targeted verification to pay. On 4-letter text an exact piece of length
+# l fires per start with prob 4^-l; a kp=1 banded piece with prob
+# ~8l / 4^l; each is further multiplied by the number of shift slices
+# (O(j k) worst case). l >= 14 keeps kp=1 rows cold through k = 8;
+# k in [9, 16] multiplies the slice count, so it needs l >= 16. The
+# density fallback still protects pathological corpora either way.
+EXACT_LMIN_HIGH = 14  # exact tier, k >= 5
+BANDED_LMIN = {5: 14, 6: 14, 7: 14, 8: 14}  # else 16 for k in [9, 16]
+
+
+def pieces_of_j(m: int, j: int):
+    """Static piece table: [(offset, length)] — j contiguous pieces."""
+    l = m // j
+    return [(i * l, l if i < j - 1 else m - (j - 1) * l) for i in range(j)]
 
 
 def pieces_of(m: int, k: int):
-    """Static piece table: [(offset, length)] — k+1 contiguous pieces."""
-    l = m // (k + 1)
-    return [(i * l, l if i < k else m - k * l) for i in range(k + 1)]
+    """Exact-tier piece table (k + 1 pieces). Kept for the public API."""
+    return pieces_of_j(m, k + 1)
 
 
-def shift_range(o: int, li: int, m: int, k: int):
-    """Allowed occurrence shifts for the piece at [o, o+li) (see module doc)."""
-    return (-min(o, k), min(k, m - o - li))
+def banded_j(k: int) -> int:
+    """Piece count of the banded tier: the fewest pieces with k//j == 1
+    (fewest = longest pieces = most selective; cost is j-independent)."""
+    return k // 2 + 1
+
+
+def tier_of(m: int, k: int):
+    """Filtration plan for one pattern: ``(j, kp)`` or None (banded DP).
+
+    Exact pieces are preferred (cheaper and more selective); the banded
+    tier extends coverage to mid-length patterns at k in [5, 16].
+    """
+    if m < 1:
+        return None
+    if k == 0:
+        return (1, 0)
+    if k <= 4:
+        return (k + 1, 0) if m // (k + 1) >= max(k, 8) else None
+    if k <= K_MAX:
+        if m // (k + 1) >= EXACT_LMIN_HIGH:
+            return (k + 1, 0)
+        j = banded_j(k)
+        if m // j >= BANDED_LMIN.get(k, 16):
+            return (j, 1)
+    return None
 
 
 def filter_eligible(m: int, k: int) -> bool:
-    """Filtration applies when pieces are long enough to be selective and
-    to keep the pre-rotated text reads off the wrapped lanes.
+    """True when some filtration tier applies to an (m, k) pattern."""
+    return tier_of(m, k) is not None
 
-    The phase-1 AND-chain cost is ~independent of k (each pattern char is
-    processed once; only the shift-OR grows, by 2k+1 ops per piece), so
-    what bounds k is *selectivity*: a random window triggers a piece with
-    probability ~ (k+1)(2k+1) / alphabet^piece_len, and a staging row
-    (wf ~ 8k windows) must stay cold for verification to pay. piece_len
-    >= 8 keeps DNA rows cold through k = 4 (round-1 measured); k in
-    [5, 8] needs piece_len >= 14 ((9)(17)/4^14 ~ 6e-7 per window). The
-    density fallback still protects pathological corpora either way.
+
+def shift_range(o: int, li: int, m: int, k: int):
+    """Geometric occurrence shifts for a *middle* piece at [o, o+li)."""
+    return (-min(o, k), min(k, m - o - li))
+
+
+def piece_shift_range(idx: int, j: int, o: int, li: int, m: int, k: int, kp: int):
+    """Allowed occurrence shifts for piece ``idx`` of ``j`` (see module doc).
+
+    The equal-length-window alignment pins the first piece's start at the
+    window start and the last piece's end at the window end; middle pieces
+    drift by the errors spent before/after them (<= k), clamped to fit.
     """
-    if k == 0:
-        return m >= 1
-    if 1 <= k <= 4:
-        return m // (k + 1) >= max(k, 8)
-    return 5 <= k <= 8 and m // (k + 1) >= 14
+    if idx == 0:
+        return (0, 0)
+    if idx == j - 1:
+        return (-min(o, kp), min(kp, m - o - li + kp))
+    return (-min(o, k), min(k, m - o - li + kp))
 
 
 def partition_plens(plens: tuple, k: int, engine: str):
@@ -88,7 +155,7 @@ def partition_plens(plens: tuple, k: int, engine: str):
 
 def _filter_kernel(
     meta_ref,  # SMEM (1, 2) int32 — [window bound (global), global start]
-    pchar_ref,  # SMEM (P, m_max) int32 — pattern chars (no k padding)
+    pchar_ref,  # SMEM (P, m_max + 2*pad) int32 — pattern chars, 256-padded
     corpus_ref,  # VMEM (FOLD, wf + halo) uint8
     out_ref,  # VMEM (P * FOLD, 1) int32 — accumulated candidate counts
     rowmap_ref,  # VMEM (FOLD, P) int32 — this block's per-row counts
@@ -97,6 +164,7 @@ def _filter_kernel(
     m_max: int,
     wf: int,
     plens: tuple,
+    pad: int,  # pchar front/back sentinel columns (= max piece kp)
 ):
     i = pl.program_id(0)
     p = len(plens)
@@ -109,8 +177,13 @@ def _filter_kernel(
 
     rowmap_ref[:] = jnp.zeros_like(rowmap_ref)  # covers padding patterns
 
-    active = sorted({m for m in plens if m > 0})
-    if not active:
+    # Static per-pattern piece plans.
+    plan = {}
+    for pi, m in enumerate(plens):
+        if m > 0:
+            j, kp = tier_of(m, k)
+            plan[pi] = (pieces_of_j(m, j), j, kp)
+    if not plan:
         return
 
     text0 = corpus_ref[:].astype(jnp.int32)  # (FOLD, wpf)
@@ -125,68 +198,145 @@ def _filter_kernel(
     )
     valid = win < bound  # (FOLD, wf)
 
-    # int32 0/1 masks: Mosaic cannot legalize i1 vectors in loop carries
-    ones = jnp.ones((FOLD, L), jnp.int32)
+    def init_band(kp):
+        # D[d][0] = d for d >= 0 (start-pinned boundary), INF below band.
+        return tuple(
+            jnp.full((FOLD, L), jnp.int32(di - kp) if di >= kp else INF, jnp.int32)
+            for di in range(2 * kp + 1)
+        )
 
-    piece_tab = {pi: pieces_of(m, k) for pi, m in enumerate(plens) if m > 0}
+    def dp_step(band, src, pi, x, kp, static_x):
+        """Advance one piece's pinned-start band by one DP step.
 
-    def piece_at(pi, x):
-        for idx, (o, li) in enumerate(piece_tab[pi]):
-            if o < x <= o + li:
-                return idx
-        return None
+        ``band[di]`` holds D[t + d][t] (d = di - kp) for the piece-local
+        step t; the compared pattern char for cell d at global step x is
+        pchar[x - 1 + d] (piece-independent). kp = 0 degenerates to the
+        mismatch counter ``band[0] + (src != pc)`` — no min ops at all.
+        int32 0/1 costs: Mosaic cannot legalize i1 vectors in loop carries.
+        """
+        new, prev = [], None
+        for di in range(2 * kp + 1):
+            d = di - kp
+            idx = x - 1 + d + pad
+            pc = (
+                pchar_ref[pi, idx]
+                if static_x is None
+                else pchar_ref[pi, int(idx)]
+            )
+            c = (src != pc).astype(jnp.int32)
+            val = band[di] + c  # substitution / mismatch accumulate
+            if d < kp:
+                val = jnp.minimum(val, band[di + 1] + 1)  # deletion
+            if prev is not None:
+                val = jnp.minimum(val, prev + 1)  # insertion
+            new.append(val)
+            prev = val
+        return tuple(new)
 
-    def fold_piece(cand, e, pi, piece_idx):
-        m = plens[pi]
-        o, li = piece_tab[pi][piece_idx]
-        s_lo, s_hi = shift_range(o, li, m, k)
-        delta = 0 if piece_idx == 0 else k  # e lane = pos + delta
-        for s in range(s_lo, s_hi + 1):
-            off = s + delta
-            sl = e[:, off : off + wf]
-            cand = sl if cand is None else (cand | sl)
-        return cand
+    # Segment bounds: union of all capture steps o+li-kp .. o+li+kp.
+    caps = {}  # step -> list of (pi, pidx, d_cap)
+    for pi, (tab, j, kp) in plan.items():
+        for pidx, (o, li) in enumerate(tab):
+            for d in range(-kp, kp + 1):
+                caps.setdefault(o + li - d, []).append((pi, pidx, d))
+    bounds = sorted(caps)
 
-    # Segment boundaries: all static piece end positions.
-    bounds = sorted({o + li for tab in piece_tab.values() for (o, li) in tab})
+    def live_at(lo, hi):
+        """Pieces whose step interval [o+1, o+li+kp] covers [lo, hi].
 
-    cands = {pi: None for pi in piece_tab}
-    e_cur = {pi: ones for pi in piece_tab}
+        The bound set contains every piece's end (its d=0 capture), so a
+        piece interval can never PARTIALLY overlap a segment — asserted,
+        because a partial overlap would silently skip DP steps.
+        """
+        out = []
+        for pi, (tab, j, kp) in plan.items():
+            for pidx, (o, li) in enumerate(tab):
+                if o + 1 <= lo and hi <= o + li + kp:
+                    out.append((pi, pidx))
+                else:
+                    assert o + 1 > hi or o + li + kp < lo, (
+                        (pi, pidx, o, li, kp, lo, hi)
+                    )
+        return out
+
+    states = {}  # (pi, pidx) -> band tuple
+    mincap = {}  # (pi, pidx) -> running min of captured end-drift cells
+    cands = {pi: None for pi in plan}
+
     text, tk = text0, tk0
     lo = 1
     for b in bounds:
-        live = [pi for pi, m in enumerate(plens) if m > 0 and m >= lo]
-        carry_e = tuple(e_cur[pi] for pi in live)
-        seg_piece = {pi: piece_at(pi, lo) for pi in live}
+        # Start any piece whose first step falls in [lo, b] (piece spans
+        # whole segments by construction of the bound set).
+        for pi, (tab, j, kp) in plan.items():
+            for pidx, (o, li) in enumerate(tab):
+                if lo <= o + 1 <= b and (pi, pidx) not in states:
+                    states[(pi, pidx)] = init_band(kp)
 
-        def body(x, carry):
-            text, tk, es = carry
+        live = live_at(lo, b)
+        kps = {key: plan[key[0]][2] for key in live}
+
+        if b == lo:
+            # Single-step segment: inline, static step index.
             txL = text[:, :L]
             tkL = tk[:, :L]
-            new_es = []
-            for j, pi in enumerate(live):
-                src = txL if seg_piece[pi] == 0 else tkL
-                new_es.append(
-                    jnp.where(src == pchar_ref[pi, x - 1], es[j], 0)
-                )
+            for key in live:
+                pi, pidx = key
+                src = txL if pidx == 0 else tkL
+                states[key] = dp_step(states[key], src, pi, lo, kps[key], lo)
             text = pltpu.roll(text, shift=text.shape[1] - 1, axis=1)
             tk = pltpu.roll(tk, shift=tk.shape[1] - 1, axis=1)
-            return text, tk, tuple(new_es)
+        else:
+            carry_states = tuple(states[key] for key in live)
 
-        text, tk, carry_e = jax.lax.fori_loop(
-            lo, b + 1, body, (text, tk, carry_e), unroll=False
-        )
-        for j, pi in enumerate(live):
-            e_cur[pi] = carry_e[j]
-            o, li = piece_tab[pi][seg_piece[pi]]
-            if o + li == b:
-                cands[pi] = fold_piece(cands[pi], e_cur[pi], pi, seg_piece[pi])
-                e_cur[pi] = ones
+            def body(x, carry, live=live, kps=kps):
+                text, tk, st = carry
+                txL = text[:, :L]
+                tkL = tk[:, :L]
+                new_st = tuple(
+                    dp_step(
+                        st[ji],
+                        txL if key[1] == 0 else tkL,
+                        key[0],
+                        x,
+                        kps[key],
+                        None,
+                    )
+                    for ji, key in enumerate(live)
+                )
+                text = pltpu.roll(text, shift=text.shape[1] - 1, axis=1)
+                tk = pltpu.roll(tk, shift=tk.shape[1] - 1, axis=1)
+                return text, tk, new_st
+
+            text, tk, carry_states = jax.lax.fori_loop(
+                lo, b + 1, body, (text, tk, carry_states), unroll=False
+            )
+            for ji, key in enumerate(live):
+                states[key] = carry_states[ji]
+
+        # Captures scheduled at step b (trace-time bindings — free).
+        for pi, pidx, d in caps[b]:
+            tab, j, kp = plan[pi]
+            key = (pi, pidx)
+            cell = states[key][d + kp]  # D[li][li - d] at step b = o+li-d
+            prev = mincap.get(key)
+            mincap[key] = cell if prev is None else jnp.minimum(prev, cell)
+            o, li = tab[pidx]
+            if b == o + li + kp:  # final capture: fold the piece verdict
+                hit = (mincap.pop(key) <= kp).astype(jnp.int32)
+                del states[key]
+                m = plens[pi]
+                s_lo, s_hi = piece_shift_range(pidx, j, o, li, m, k, kp)
+                delta = 0 if pidx == 0 else k
+                acc = cands[pi]
+                for s in range(s_lo, s_hi + 1):
+                    off = s + delta
+                    sl = hit[:, off : off + wf]
+                    acc = sl if acc is None else (acc | sl)
+                cands[pi] = acc
         lo = b + 1
 
-    for pi, m in enumerate(plens):
-        if m == 0:
-            continue
+    for pi in plan:
         cv = cands[pi] & valid.astype(jnp.int32)
         rows = jnp.sum(cv, axis=1, keepdims=True)  # (FOLD, 1)
         rowmap_ref[:, pi : pi + 1] = rows
@@ -223,11 +373,22 @@ def scan_filter_pallas(
     assert halo >= m_max + 2 * k, (halo, m_max, k)
     assert r_rows % FOLD == 0 and r_rows > 0
     assert len(plens) == p
+    pad = 0
     for m in plens:
         assert m == 0 or filter_eligible(m, k), (m, k)
+        if m > 0:
+            pad = max(pad, tier_of(m, k)[1])
     nblk = r_rows // FOLD
 
-    pchar = pat.astype(jnp.int32)
+    if pad:
+        # Sentinel-padded char table: out-of-piece compares hit 256, which
+        # no widened text byte equals (those cells are dominated anyway).
+        pchar = jnp.full((p, m_max + 2 * pad), 256, jnp.int32)
+        pchar = jax.lax.dynamic_update_slice(
+            pchar, pat.astype(jnp.int32), (0, pad)
+        )
+    else:
+        pchar = pat.astype(jnp.int32)
     meta = jnp.stack(
         [bound.astype(jnp.int32).reshape(()), start.astype(jnp.int32).reshape(())]
     ).reshape(1, 2)
@@ -247,7 +408,9 @@ def scan_filter_pallas(
     )
 
     counts, rowmap = pl.pallas_call(
-        functools.partial(_filter_kernel, k=k, m_max=m_max, wf=wf, plens=plens),
+        functools.partial(
+            _filter_kernel, k=k, m_max=m_max, wf=wf, plens=plens, pad=pad
+        ),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((p * FOLD, 1), jnp.int32),

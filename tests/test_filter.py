@@ -105,11 +105,24 @@ def test_shift_ranges_clipped():
 
 
 def test_eligibility_rules():
+    from apm.ops.filter_kernel import banded_j, tier_of
+
     assert filter_eligible(50, 0)
     assert filter_eligible(50, 1)
     assert filter_eligible(50, 4)  # l=10 >= max(4,8)=8
     assert not filter_eligible(20, 2)  # l=6 < 8
-    assert not filter_eligible(50, 5)  # k > 4
+    # k in [5, 16]: exact tier for long patterns, banded tier for mid.
+    assert tier_of(84, 5) == (6, 0)  # l=14 exact pieces
+    assert tier_of(50, 5) == (3, 1)  # banded: j=3, l=16, 1 error each
+    assert tier_of(41, 5) is None  # l=13 < 14
+    assert tier_of(98, 6) == (7, 0)
+    assert tier_of(97, 6) == (4, 1)
+    assert tier_of(14 * 17, 16) == (17, 0)
+    assert tier_of(16 * 9, 16) == (9, 1)
+    assert tier_of(140, 16) is None  # 140//9=15 < 16
+    assert not filter_eligible(50, 17)  # beyond K_MAX
+    for k in range(5, 17):
+        assert k // banded_j(k) == 1  # pigeonhole: 1 error per piece
 
 
 def test_filter_maximal_left_shift_at_row_boundary():
@@ -242,7 +255,6 @@ def test_high_k_filtration_vs_oracle(k):
 
     m = 14 * (k + 1)
     assert filter_eligible(m, k)
-    assert not filter_eligible(m - (k + 1), k)
     corpus = random_dna(40_000, seed=300 + k)
     pat = random_pattern(m, seed=310 + k)
     plant(corpus, pat, [900, 20_000, 38_000], k=k, seed=320 + k)
@@ -255,3 +267,104 @@ def test_high_k_filtration_vs_oracle(k):
     want = count_matches(corpus, [pat], k)
     assert got == want
     assert want[0] >= 3
+
+
+@pytest.mark.parametrize("k", [5, 6, 8])
+def test_banded_tier_mid_length_vs_oracle(k):
+    """Banded-piece tier: mid-length patterns at k in [5, 8] (too short
+    for k+1 exact pieces). Planted k-error occurrences recovered exactly."""
+    from apm.ops.filter_kernel import tier_of
+    from apm.utils.corpus import plant, random_pattern
+
+    m = 14 * (k + 1) - 7  # just below the exact-tier threshold
+    j, kp = tier_of(m, k)
+    assert kp == 1 and j == k // 2 + 1
+    corpus = random_dna(30_000, seed=400 + k)
+    pat = random_pattern(m, seed=410 + k)
+    plant(corpus, pat, [700, 15_000, 28_000], k=k, seed=420 + k)
+    cfg = ApmConfig(
+        backend="pallas", interpret=True, engine="filter",
+        block_windows=1024,
+    )
+    got = Scanner([pat], k, cfg).count(corpus).tolist()
+    want = count_matches(corpus, [pat], k)
+    assert got == want
+    assert want[0] >= 3
+
+
+def test_banded_tier_boundary_drift_certificates():
+    """Adversarial alignments: all k errors concentrated as deletions at
+    the pattern head (last piece certifies at maximal left drift), as
+    insertions at the head (maximal right drift), and all errors inside
+    one middle piece (endpoint pieces certify with zero errors)."""
+    k = 6
+    m = 70  # banded tier: j=4, l=17
+    from apm.ops.filter_kernel import tier_of
+
+    assert tier_of(m, k) == (4, 1)
+    rng = np.random.default_rng(88)
+    alpha = np.frombuffer(b"ACGT", np.uint8)
+    pat = alpha[rng.integers(0, 4, size=m)]
+    windows = []
+    # k deletions at the head: window = pat[k:] + k junk
+    windows.append(np.concatenate([pat[k:], alpha[rng.integers(0, 4, size=k)]]))
+    # k insertions at the head: window = junk*k + pat[:-k]
+    windows.append(np.concatenate([alpha[rng.integers(0, 4, size=k)], pat[:-k]]))
+    # k substitutions inside piece 1 (offsets [17, 34)): endpoint pieces
+    # certify with zero errors and zero drift
+    w2 = pat.copy()
+    for i in range(18, 24):
+        w2[i] = alpha[(int(np.nonzero(alpha == w2[i])[0][0]) + 1) % 4]
+    windows.append(w2)
+    corpus = random_dna(8000, seed=89).copy()
+    for i, w in enumerate(windows):
+        pos = 500 + i * 2000
+        corpus[pos : pos + len(w)] = w
+    want = count_matches(corpus, [pat], k)
+    assert want[0] >= 3  # every construction is a real match
+    cfg = ApmConfig(
+        backend="pallas", interpret=True, engine="filter",
+        block_windows=1024,
+    )
+    got = Scanner([pat], k, cfg).count(corpus).tolist()
+    assert got == want
+
+
+@pytest.mark.parametrize("k", [9, 12, 16])
+def test_k_beyond_8_filtration_vs_oracle(k):
+    """Both tiers extended to k in [9, 16]: one long (exact-tier) and one
+    mid-length (banded-tier) pattern in the same scan, vs the oracle."""
+    from apm.ops.filter_kernel import banded_j, tier_of
+    from apm.utils.corpus import plant, random_pattern
+
+    m_long = 14 * (k + 1)
+    m_mid = 16 * banded_j(k)
+    assert tier_of(m_long, k)[1] == 0
+    assert tier_of(m_mid, k)[1] == 1
+    corpus = random_dna(20_000, seed=500 + k)
+    p_long = random_pattern(m_long, seed=510 + k)
+    p_mid = random_pattern(m_mid, seed=520 + k)
+    plant(corpus, p_long, [900, 9_000], k=k, seed=530 + k)
+    plant(corpus, p_mid, [4_000, 16_000], k=k, seed=540 + k)
+    cfg = ApmConfig(
+        backend="pallas", interpret=True, engine="auto",
+        block_windows=1024,
+    )
+    got = Scanner([p_long, p_mid], k, cfg).count(corpus).tolist()
+    want = count_matches(corpus, [p_long, p_mid], k)
+    assert got == want
+    assert min(want) >= 2
+
+
+def test_mixed_tiers_one_scan():
+    """Exact-tier, banded-tier, and DP-fallback patterns together."""
+    k = 6
+    pats = [
+        random_dna(98, seed=601),  # exact tier (l=14)
+        random_dna(60, seed=602),  # banded tier (j=4, l=15)
+        random_dna(20, seed=603),  # DP fallback
+    ]
+    corpus = random_dna(12_000, seed=600)
+    want = count_matches(corpus, pats, k)
+    assert counts_with(corpus, pats, k, "auto") == want
+    assert counts_with(corpus, pats, k, "dp") == want
