@@ -28,6 +28,10 @@ def main() -> int:
     ap.add_argument(
         "--ks", default="0,1,2,4", help="comma-separated k values"
     )
+    ap.add_argument(
+        "--no-highk", action="store_true",
+        help="skip the synthetic high-k filtration-tier cells",
+    )
     args = ap.parse_args()
 
     import jax
@@ -85,6 +89,47 @@ def main() -> int:
                 flush=True,
             )
     cells = len(corpora) * len(ks)
+
+    # High-k tier cells: the reference's 50-char patterns route to the DP
+    # fallback for k > 4, so the exact-piece and banded-piece filtration
+    # tiers (k in [5, 16]) need synthetic lengths — one long (exact-tier)
+    # and one mid-length (banded-tier) pattern per k, with planted k-error
+    # occurrences, vs the oracle.
+    if not args.no_highk:
+        from apm.ops.filter_kernel import banded_j, tier_of
+        from apm.utils.corpus import plant, random_corpus, random_pattern
+
+        for k in (6, 12):
+            m_mid = 16 * banded_j(k)
+            m_long = 14 * (k + 1)
+            assert tier_of(m_mid, k)[1] == 1 and tier_of(m_long, k)[1] == 0
+            corpus = random_corpus(2_000_000, seed=900 + k)
+            p_mid = random_pattern(m_mid, seed=910 + k)
+            p_long = random_pattern(m_long, seed=920 + k)
+            plant(corpus, p_mid, [5_000, 900_000, 1_700_000], k=k,
+                  seed=930 + k)
+            plant(corpus, p_long, [300_000, 1_200_000], k=k, seed=940 + k)
+            sc = apm.Scanner([p_mid, p_long], k)
+            t0 = time.perf_counter()
+            got = sc.count(corpus).tolist()
+            dt = time.perf_counter() - t0
+            want = count_matches(corpus, [p_mid, p_long], k)
+            ok = got == want and min(want) >= 2
+            failures += 0 if ok else 1
+            cells += 1
+            print(
+                json.dumps(
+                    {
+                        "corpus": f"synthetic2mb_tiers_k{k}",
+                        "k": k,
+                        "ok": ok,
+                        "seconds": round(dt, 3),
+                        **({} if ok else {"got": got, "want": want}),
+                    }
+                ),
+                flush=True,
+            )
+
     print(f"{cells - failures}/{cells} cells passed")
     return 1 if failures else 0
 
