@@ -84,10 +84,12 @@ class ScanPlan:
     wf: int  # windows per staging row
     halo: int  # staging-row overlap >= m_max + 2k, lane-aligned
     dev_bound: int  # exclusive bound of device-owned window starts
-    engine: str  # "auto"/"filter"/"dp" after fold gating
+    engine: str  # "auto"/"filter"/"dp"/"corr" after fold gating
     fmask: tuple  # per-pattern: True when filtration-eligible
     plens_filter: tuple  # static lengths routed to the filtration kernel
     plens_dp: tuple  # static lengths routed to the banded DP kernel
+    use_corr: bool = False  # k = 0 MXU correlation engine takes the scan
+    plens_corr: tuple = ()  # static lengths routed to the corr engine
 
     @property
     def any_filter(self) -> bool:
@@ -149,6 +151,43 @@ def make_plan(scanner: "Scanner", n: int, backend: Optional[str] = None) -> Scan
         else scanner.m_max
     )
     engine = scanner.config.engine if fold == FILTER_FOLD else "dp"
+
+    # k = 0 on the device path: exact matching is a one-hot correlation —
+    # the MXU engine takes the WHOLE pattern set in one conv when eligible
+    # (apm.ops.corr_engine). "auto" opts in silently; "corr" demands it.
+    from ..ops.corr_engine import ALPHABET_MAX, M_MAX_CORR, corr_eligible
+
+    use_corr = False
+    if backend == "pallas" and k == 0 and engine in ("auto", "corr"):
+        use_corr = corr_eligible(
+            scanner._plens_static,
+            len(scanner._corr_alphabet()),
+            scanner.m_max,
+            k,
+        )
+    if scanner.config.engine == "corr" and not use_corr:
+        raise ValueError(
+            "engine='corr' requires the pallas backend, k == 0, a pattern "
+            f"alphabet of <= {ALPHABET_MAX} distinct bytes, and "
+            f"m_max <= {M_MAX_CORR}"
+        )
+    if use_corr:
+        zeros = tuple(0 for _ in scanner._plens_static)
+        return ScanPlan(
+            backend=backend,
+            fold=fold,
+            w=w,
+            wf=w // fold,
+            halo=halo,
+            dev_bound=scanner.device_window_bound(n),
+            engine="corr",
+            fmask=tuple(False for _ in scanner._plens_static),
+            plens_filter=zeros,
+            plens_dp=zeros,
+            use_corr=True,
+            plens_corr=scanner._plens_static,
+        )
+
     fmask, plens_filter, plens_dp = partition_plens(
         scanner._plens_static, k, engine if backend == "pallas" else "dp"
     )

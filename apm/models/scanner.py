@@ -84,6 +84,57 @@ class Scanner:
         # Device-resident staged-corpus cache: (fingerprint, wf, halo,
         # chunk_win, c0) -> device array of folded rows.
         self._dev_cache: dict = {}
+        self._prewarm_thread = None
+        if self.config.prewarm_bytes:
+            import threading
+
+            self._prewarm_thread = threading.Thread(
+                target=self._prewarm_run,
+                args=(int(self.config.prewarm_bytes),),
+                name="apm-prewarm",
+                daemon=True,
+            )
+            self._prewarm_thread.start()
+
+    def _prewarm_run(self, corpus_bytes: int) -> None:
+        try:
+            self.warmup(corpus_bytes)
+        except Exception as e:  # startup helper: never take the service down
+            from ..utils.profiling import info
+
+            info(f"prewarm failed (scans will compile lazily): {e!r}")
+
+    def prewarm_join(self, timeout: Optional[float] = None) -> bool:
+        """Wait for the background prewarm (``ApmConfig.prewarm_bytes``).
+
+        Returns True when the prewarm has finished (or none was requested).
+        """
+        t = self._prewarm_thread
+        if t is None:
+            return True
+        t.join(timeout)
+        return not t.is_alive()
+
+    def _corr_alphabet(self) -> np.ndarray:
+        """Distinct pattern bytes (cached) — the corr engine's channels."""
+        a = getattr(self, "_corr_alph", None)
+        if a is None:
+            from ..ops.corr_engine import build_alphabet
+
+            a = self._corr_alph = build_alphabet(self.scan_patterns.raw)
+        return a
+
+    def _corr_kernel(self):
+        """One-hot conv kernel + (P,) thresholds for the corr engine
+        (cached)."""
+        kk = getattr(self, "_corr_kern", None)
+        if kk is None:
+            from ..ops.corr_engine import build_kernel
+
+            kk = self._corr_kern = build_kernel(
+                self._pat_raw, self._plens_static, self._corr_alphabet()
+            )
+        return kk
 
     @staticmethod
     def _fingerprint(buf: np.ndarray) -> tuple:
@@ -258,11 +309,30 @@ class Scanner:
                 self._fingerprint(buf) if self.config.cache_corpus else None
             )
 
+        if plan.use_corr:
+            from ..ops.corr_engine import _group_rows, scan_corr_mxu
+
+            kern_np, thr_np = self._corr_kernel()
+            dkern = jax.numpy.asarray(kern_np)
+            dthr = jax.numpy.asarray(thr_np)
+            dalph = jax.numpy.asarray(self._corr_alphabet())
+            g_rows = _group_rows(
+                wf + halo, len(self._corr_alphabet()), n_rows
+            )
+
         handles = []  # (P,)-shaped device counts, fetched after the loop
         raw_chunks = []  # (c0, packed handle, rowmap handle)
         for c0 in range(0, dev_bound, chunk_win):
             drows = self._staged_rows(buf, fp, c0, n_rows, wf, halo)
             dc0 = jax.numpy.asarray(c0, dtype=np.int32)
+            if plan.use_corr:
+                handles.append(
+                    scan_corr_mxu(
+                        drows, dkern, dthr, dalph, dbound, dc0,
+                        wf=wf, m_max=self.m_max, n_rows=n_rows,
+                        g_rows=g_rows,
+                    )
+                )
             if plan.any_dp:
                 handles.append(
                     scan_folded_pallas_unrolled(
@@ -419,6 +489,23 @@ class Scanner:
         n_rows = chunk_win // wf
         zero32 = jax.numpy.asarray(0, jax.numpy.int32)
         rows = jax.numpy.zeros((n_rows, wf + halo), jax.numpy.uint8)
+        if plan.use_corr:
+            from ..ops.corr_engine import _group_rows, scan_corr_mxu
+
+            kern_np, thr_np = self._corr_kernel()
+            np.asarray(
+                scan_corr_mxu(
+                    rows,
+                    jax.numpy.asarray(kern_np),
+                    jax.numpy.asarray(thr_np),
+                    jax.numpy.asarray(self._corr_alphabet()),
+                    zero32, zero32,
+                    wf=wf, m_max=self.m_max, n_rows=n_rows,
+                    g_rows=_group_rows(
+                        wf + halo, len(self._corr_alphabet()), n_rows
+                    ),
+                )
+            )
         if plan.any_dp:
             np.asarray(
                 scan_folded_pallas_unrolled(

@@ -1,0 +1,190 @@
+"""Exact-match (k = 0) scanning on the MXU via one-hot correlation.
+
+At k = 0 approximate matching degenerates to exact matching, and exact
+matching is a *correlation*: window ``j`` matches pattern ``p`` iff
+
+    sum_i [text[j + i] == p[i]]  ==  m_p .
+
+Encode text and pattern one-hot over the patterns' byte alphabet and the
+per-position equality becomes an inner product, so the whole scan is ONE
+convolution — ``(R, L, C) * (m_max, C, P) -> (R, W, P)`` — which XLA
+lowers onto the MXU (the systolic array), where a v5e chip has ~394
+bf16 TFLOP/s against the VPU's ~4 Tops/s that the banded-DP kernel's
+compare chains ride. The banded kernel (``apm.ops.pallas_kernel``) stays
+the engine for k >= 1, where the DP recurrence has no such bilinear form.
+
+Two tricks make one conv serve an arbitrary pattern set:
+
+* **Per-pattern thresholds, not padding channels.** Kernel positions past
+  a pattern's real length stay all-zero and the match test is
+  ``corr >= m_p`` per pattern (``corr`` cannot exceed ``m_p``): no
+  wildcard channel, no concat in the hot path — measured ~10% over the
+  wildcard formulation on chip. (Text bytes outside the alphabet one-hot
+  to the zero vector and can never complete a match — correct, since
+  every pattern byte is in the alphabet by construction.)
+* **Alphabet channels, not byte channels.** Channels are the distinct
+  bytes of the pattern set (4-5 for DNA), not all 256 byte values, so the
+  contraction stays dense.
+
+Window-ownership masking is a per-ROW limit (one clipped subtract per
+row, ``col < limit[r]``) rather than a per-window global-index compare —
+the scan is VPU-encode-bound, so shaving the 3-op mask to 1 op is a
+measured ~25% end-to-end win.
+
+Exactness: inputs are 0/1 in bf16, accumulation is f32
+(``preferred_element_type``), partial sums are integers ``<= m_max``
+— every value is exactly representable for ``m_max < 2**24``, so the
+``corr == m_max`` test is bit-exact, and the engine is conformance-tested
+against the oracle like every other engine (tests/test_corr.py).
+
+Eligibility (:func:`corr_eligible`): k = 0, alphabet <= ``ALPHABET_MAX``
+(beyond that the contraction dilutes — each extra channel is pure FLOP
+overhead), ``m_max <= M_MAX_CORR`` (conv kernel width; long patterns are
+better served by the pigeonhole filter's piece scan). Ineligible scans
+fall back to the round-1 engines unchanged.
+
+The reference has no analog of either formulation: its CPU and CUDA
+kernels run the full O(m^2) DP per window (``src/utils.c:76-99``,
+``src/cuda_utils.cu``) even at k = 0.
+
+Memory: the one-hot text tile is ``(rows, L, C+1)`` bf16 — ~12x the
+staged bytes for DNA — so the scan maps over static row *groups* sized
+~``GROUP_BYTES`` of one-hot, keeping the working set in the tens of MB
+while XLA pipelines group g+1's encode against group g's conv.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Channels beyond this dilute the MXU contraction (every extra channel
+# multiplies conv FLOPs); binary-ish pattern sets fall back to the
+# pigeonhole/banded engines.
+ALPHABET_MAX = 16
+
+# Conv kernel width cap. Longer patterns are dominated by the pigeonhole
+# filter anyway (a selective piece scan reads each text byte once; the
+# conv reads each m_max times).
+M_MAX_CORR = 512
+
+# Target bytes of one-hot text materialized per mapped row group.
+GROUP_BYTES = 64 << 20
+
+
+def build_alphabet(raw_patterns) -> np.ndarray:
+    """Sorted distinct bytes across the pattern set, as (C,) uint8."""
+    if not raw_patterns:
+        return np.zeros((0,), dtype=np.uint8)
+    cat = np.concatenate(
+        [np.frombuffer(bytes(p), dtype=np.uint8) for p in raw_patterns]
+    )
+    return np.unique(cat)
+
+
+def corr_eligible(plens, alphabet_size: int, m_max: int, k: int) -> bool:
+    """Gate for the correlation engine (see module docstring)."""
+    return (
+        k == 0
+        and 0 < alphabet_size <= ALPHABET_MAX
+        and 0 < m_max <= M_MAX_CORR
+        and any(m > 0 for m in plens)
+    )
+
+
+def build_kernel(
+    pat_raw: np.ndarray, plens, alphabet: np.ndarray
+):
+    """One-hot conv kernel ``(m_max, C, P)`` bf16 + (P,) f32 thresholds.
+
+    ``pat_raw`` is the (P, m_max) zero-padded raw pattern table. Position
+    ``i`` of pattern ``p`` one-hots to its byte's alphabet channel for
+    ``i < m_p``; positions past the pattern (and whole pattern-axis
+    padding rows, ``m_p = 0``) stay all-zero. The returned threshold for
+    pattern ``p`` is ``m_p`` — ``corr >= m_p`` iff every real position
+    matched — and an unreachable sentinel for padding rows so they never
+    count (the same "no work for padding rows" contract as the Pallas
+    kernels).
+    """
+    P, m_max = pat_raw.shape
+    C = len(alphabet)
+    kern = np.zeros((m_max, C, P), dtype=np.float32)
+    thr = np.zeros((P,), dtype=np.float32)
+    for pi in range(P):
+        m = plens[pi]
+        thr[pi] = m if m > 0 else np.float32(2**30)
+        for i in range(min(m, m_max)):
+            ci = int(np.searchsorted(alphabet, pat_raw[pi, i]))
+            kern[i, ci, pi] = 1.0
+    return kern.astype(jnp.bfloat16), thr
+
+
+def _group_rows(L: int, C: int, n_rows: int) -> int:
+    """Rows per mapped group: ~GROUP_BYTES of one-hot, >= 8, <= n_rows."""
+    per_row = L * C * 2
+    g = max(8, GROUP_BYTES // max(per_row, 1))
+    return int(min(g, n_rows))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("wf", "m_max", "n_rows", "g_rows")
+)
+def scan_corr_mxu(
+    rows: jax.Array,  # (R, wf + halo) uint8 — folded staged corpus rows
+    kern: jax.Array,  # (m_max, C, P) bf16 — one-hot pattern kernel
+    thr: jax.Array,  # (P,) f32 — per-pattern match thresholds (= m_p)
+    alph: jax.Array,  # (C,) uint8 — pattern alphabet
+    bound: jax.Array,  # () int32 — global window bound (exclusive)
+    start: jax.Array,  # () int32 — global window index of row 0
+    *,
+    wf: int,
+    m_max: int,
+    n_rows: int,  # rows that carry real windows (R may be group-padded)
+    g_rows: int,  # rows per mapped group (static)
+):
+    """(P,) int32 exact-match counts for this chunk's device-owned windows.
+
+    Same ownership contract as the Pallas kernels: row ``r`` owns global
+    windows ``[start + r*wf, start + (r+1)*wf)`` intersected with
+    ``[0, bound)``; rows past ``n_rows`` (group padding) own nothing.
+    (The explicit ``n_rows`` mask matters even though padded rows are
+    zero-filled: a binary pattern may legitimately contain NUL bytes and
+    would otherwise match the padding.)
+    """
+    R, L = rows.shape
+    G = -(-R // g_rows)
+    pad = G * g_rows - R
+    if pad:
+        rows = jnp.pad(rows, ((0, pad), (0, 0)))
+    grouped = rows.reshape(G, g_rows, L)
+
+    col = jnp.arange(wf, dtype=jnp.int32)[None, :]
+    row_in_g = jnp.arange(g_rows, dtype=jnp.int32)[:, None]
+
+    def one_group(args):
+        rg, g = args  # (g_rows, L) uint8, () int32
+        t = (rg[:, :, None] == alph[None, None, :]).astype(jnp.bfloat16)
+        corr = jax.lax.conv_general_dilated(
+            t,
+            kern,
+            window_strides=(1,),
+            padding="VALID",
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            preferred_element_type=jnp.float32,
+        )  # (g_rows, L - m_max + 1, P)
+        match = corr[:, :wf, :] >= thr[None, None, :]
+        r_abs = g * g_rows + row_in_g  # (g_rows, 1) global row index
+        limit = jnp.where(
+            r_abs < n_rows,
+            jnp.clip(bound - start - r_abs * wf, 0, wf),
+            0,
+        )  # (g_rows, 1) valid windows per row
+        return jnp.sum(
+            match & (col < limit)[:, :, None], axis=(0, 1), dtype=jnp.int32
+        )
+
+    parts = jax.lax.map(one_group, (grouped, jnp.arange(G, dtype=jnp.int32)))
+    return jnp.sum(parts, axis=0, dtype=jnp.int32)

@@ -141,6 +141,26 @@ def count_multihost(scanner: "Scanner", path: str) -> np.ndarray:
         from ..ops.fused import MAX_HOT
         from .strategies import _filter_sharded, _filter_verify_sharded
 
+        if plan.use_corr:
+            from ..ops.corr_engine import _group_rows
+            from .strategies import _corr_sharded
+
+            kern_np, thr_np = scanner._corr_kernel()
+            dkern = jax.device_put(
+                kern_np, NamedSharding(mesh, P(None, None, None))
+            )
+            dthr = jax.device_put(thr_np, NamedSharding(mesh, P(None)))
+            dalph = jax.device_put(
+                scanner._corr_alphabet(), NamedSharding(mesh, P(None))
+            )
+            dev_counts = _corr_sharded(
+                shards, starts, dkern, dthr, dalph, dbound,
+                mesh=mesh, wf=wf, m_max=m_max, n_rows=rows_per,
+                g_rows=_group_rows(
+                    wf + halo, len(scanner._corr_alphabet()), rows_per
+                ),
+            )
+            counts += np.asarray(dev_counts)
         if plan.any_dp:
             dev_counts = _database_sharded(
                 shards,

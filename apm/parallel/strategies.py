@@ -81,6 +81,37 @@ def _database_sharded(shards, starts, pat, plen, bound, *, mesh, backend, k, m_m
 
 @functools.partial(
     jax.jit,
+    static_argnames=("mesh", "wf", "m_max", "n_rows", "g_rows"),
+)
+def _corr_sharded(
+    shards, starts, kern, thr, alph, bound, *, mesh, wf, m_max, n_rows,
+    g_rows,
+):
+    """Sharded k = 0 MXU correlation scan (apm.ops.corr_engine): each
+    device convolves its own window shard, one psum joins the counts."""
+    from ..ops.corr_engine import scan_corr_mxu
+
+    def body(shard, start, kern, thr, alph, bound):
+        counts = scan_corr_mxu(
+            shard[0], kern, thr, alph, bound, start[0],
+            wf=wf, m_max=m_max, n_rows=n_rows, g_rows=g_rows,
+        )
+        return jax.lax.psum(counts, "data")
+
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            P("data", None, None), P("data"), P(None, None, None), P(None),
+            P(None), P(),
+        ),
+        out_specs=P(None),
+        check_vma=False,
+    )(shards, starts, kern, thr, alph, bound)
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("mesh", "k", "m_max", "w", "halo", "plens", "interpret"),
 )
 def _filter_sharded(shards, starts, pat_raw, bound, *, mesh, k, m_max, w, halo, plens, interpret=False):
@@ -248,6 +279,25 @@ def count_database_over_devices(scanner: "Scanner", buf: np.ndarray, n_dev: int)
             )
             dstarts = jax.device_put(starts, NamedSharding(mesh, P("data")))
             dbound = jax.device_put(np.int32(dev_bound), rep)
+            if plan.use_corr:
+                from ..ops.corr_engine import _group_rows
+
+                kern_np, thr_np = scanner._corr_kernel()
+                dkern = jax.device_put(
+                    kern_np, NamedSharding(mesh, P(None, None, None))
+                )
+                dthr = jax.device_put(thr_np, NamedSharding(mesh, P(None)))
+                dalph = jax.device_put(
+                    scanner._corr_alphabet(), NamedSharding(mesh, P(None))
+                )
+                dev = _corr_sharded(
+                    dshards, dstarts, dkern, dthr, dalph, dbound,
+                    mesh=mesh, wf=wf, m_max=m_max, n_rows=rows_per,
+                    g_rows=_group_rows(
+                        wf + halo, len(scanner._corr_alphabet()), rows_per
+                    ),
+                )
+                counts += np.asarray(dev)
             if plan.any_dp:
                 dev = _database_sharded(
                     dshards, dstarts, dpat, dplen, dbound,

@@ -40,7 +40,10 @@ class ApmConfig:
     # Scan engine on the Pallas backend: "auto"/"filter" run the pigeonhole
     # filtration kernel (exact-piece candidates + targeted verification)
     # for eligible patterns and the banded DP kernel for the rest; "dp"
-    # forces the banded kernel everywhere.
+    # forces the banded kernel everywhere; "corr" forces the k = 0 MXU
+    # one-hot-correlation engine (apm.ops.corr_engine — "auto" picks it
+    # at k = 0 for small-alphabet pattern sets automatically) and raises
+    # when the scan is ineligible for it.
     engine: str = "auto"
     # DP cell dtype for the Pallas kernel: "int32" (the only option on TPU
     # hardware — v5e has no packed 16/8-bit vector compares, DESIGN.md §1),
@@ -53,6 +56,13 @@ class ApmConfig:
     # Byte budget for the device-resident corpus cache. None = a quarter of
     # the device's reported HBM (fallback 4 GiB when unknown).
     cache_bytes: Optional[int] = None
+    # Pre-compile the scan kernels for this corpus size on a background
+    # daemon thread at Scanner construction (service startup absorbs the
+    # minutes-long first TPU compile while the host finishes loading).
+    # None = no prewarm. Join with Scanner.prewarm_join(); a count() that
+    # arrives first simply shares the compile (XLA compiles are
+    # thread-safe and deduplicated).
+    prewarm_bytes: Optional[int] = None
     # Blocks per count_batch kernel call (group bucket). None = 128: groups
     # dispatch back-to-back so staging/transfer of group g+1 overlaps the
     # kernel on group g. Raise on transfer-starved links, lower for small
@@ -69,7 +79,7 @@ class ApmConfig:
             "patterns_over_devices",
         ):
             raise ValueError(f"unknown strategy {self.strategy!r}")
-        if self.engine not in ("auto", "dp", "filter"):
+        if self.engine not in ("auto", "dp", "filter", "corr"):
             raise ValueError(f"unknown engine {self.engine!r}")
         if self.dp_dtype not in ("int32", "int16", "int8"):
             raise ValueError(f"unknown dp_dtype {self.dp_dtype!r}")
@@ -77,6 +87,8 @@ class ApmConfig:
             raise ValueError("cache_bytes must be >= 0")
         if self.batch_blocks is not None and self.batch_blocks <= 0:
             raise ValueError("batch_blocks must be > 0")
+        if self.prewarm_bytes is not None and self.prewarm_bytes < 0:
+            raise ValueError("prewarm_bytes must be >= 0")
         if self.block_windows is not None and (
             self.block_windows % 128 != 0 or self.block_windows <= 0
         ):

@@ -1,0 +1,162 @@
+"""Conformance + gating tests for the k = 0 MXU correlation engine
+(apm.ops.corr_engine): one-hot text * one-hot pattern conv == exact-match
+counts, bit-for-bit with the oracle like every other engine."""
+
+import numpy as np
+import pytest
+
+from apm import Scanner
+from apm.models.pipeline import make_plan
+from apm.utils.config import ApmConfig
+from apm.utils.corpus import plant, random_corpus, random_pattern
+from apm.utils.oracle import count_matches
+
+from conftest import random_dna
+
+
+def _cfg(**kw):
+    kw.setdefault("backend", "pallas")
+    kw.setdefault("interpret", True)
+    kw.setdefault("strategy", "single")
+    return ApmConfig(**kw)
+
+
+def test_engine_selection_and_forcing():
+    corpus = random_corpus(20000, seed=1)
+    pats = [b"ACGT", b"GATTACA"]
+    sc = Scanner(pats, 0, _cfg(engine="auto"))
+    assert make_plan(sc, len(corpus), "pallas").engine == "corr"
+    sc = Scanner(pats, 0, _cfg(engine="dp"))
+    assert make_plan(sc, len(corpus), "pallas").engine == "dp"
+    # k >= 1 never routes corr
+    sc = Scanner(pats, 1, _cfg(engine="auto"))
+    assert not make_plan(sc, len(corpus), "pallas").use_corr
+
+
+@pytest.mark.parametrize("seed", [0, 7])
+def test_corr_matches_oracle_mixed_lengths(seed):
+    corpus = random_corpus(250000, seed=seed)
+    pats = [
+        b"A",  # single byte: below the filter engine's eligibility, fine here
+        b"ACGT",
+        bytes(random_pattern(50, seed=seed + 1)),
+        bytes(random_pattern(200, seed=seed + 2)),  # absent long pattern
+        b"ACGT",  # duplicate
+    ]
+    plant(corpus, np.frombuffer(b"ACGTACGTACGT", np.uint8), [17, 5000], k=0)
+    exp = count_matches(corpus, pats, 0)
+    got = Scanner(pats, 0, _cfg(engine="corr")).count(corpus).tolist()
+    assert got == exp
+    # and against the other engines
+    assert Scanner(pats, 0, _cfg(engine="dp")).count(corpus).tolist() == exp
+    assert (
+        Scanner(pats, 0, _cfg(engine="filter")).count(corpus).tolist() == exp
+    )
+
+
+def test_corr_chunked_and_cached():
+    """Multiple chunks + the device corpus cache reuse staged rows."""
+    corpus = random_corpus(400000, seed=3)
+    pats = [b"ACGTT", bytes(random_pattern(33, seed=4))]
+    cfg = _cfg(engine="corr", chunk_bytes=1 << 17, cache_corpus=True)
+    sc = Scanner(pats, 0, cfg)
+    exp = count_matches(corpus, pats, 0)
+    assert sc.count(corpus).tolist() == exp
+    assert sc.count(corpus).tolist() == exp  # cached rows second time
+
+
+def test_corr_eof_tail_and_tiny_corpus():
+    pats = [b"TTTT", b"GG"]
+    for n in (1, 3, 4, 5, 64):
+        corpus = np.frombuffer(b"TTTTGGTT" * 8, np.uint8)[:n].copy()
+        exp = count_matches(corpus, pats, 0)
+        got = Scanner(pats, 0, _cfg(engine="auto")).count(corpus).tolist()
+        assert got == exp, (n, got, exp)
+
+
+def test_corr_sharded_database_strategy():
+    corpus = random_corpus(300000, seed=9)
+    pats = [b"ACGTACGT", b"CA", bytes(random_pattern(64, seed=10))]
+    exp = count_matches(corpus, pats, 0)
+    cfg = _cfg(engine="auto", strategy="database_over_devices")
+    sc = Scanner(pats, 0, cfg)
+    assert sc.count(corpus).tolist() == exp
+    assert make_plan(sc, len(corpus), "pallas").use_corr
+
+
+def test_corr_binary_safe_alphabet():
+    """NUL/0xFF bytes are ordinary channels."""
+    rng = np.random.default_rng(11)
+    corpus = rng.integers(0, 256, size=60000).astype(np.uint8)
+    pats = [bytes([0, 255, 0]), bytes(corpus[100:140]), b"\x00"]
+    exp = count_matches(corpus, pats, 0)
+    # alphabet here is large (random 40-byte pattern) -> auto must fall
+    # back and still match; a small-alphabet subset must route corr.
+    got = Scanner(pats, 0, _cfg(engine="auto")).count(corpus).tolist()
+    assert got == exp
+    small = [bytes([0, 255, 0]), b"\x00", bytes([255, 255])]
+    sc = Scanner(small, 0, _cfg(engine="corr"))
+    assert sc.count(corpus).tolist() == count_matches(corpus, small, 0)
+
+
+def test_corr_ineligible_raises_and_auto_falls_back():
+    corpus = random_corpus(10000, seed=12)
+    wide = bytes(range(40))  # alphabet 40 > ALPHABET_MAX
+    with pytest.raises(ValueError, match="corr"):
+        Scanner([wide], 0, _cfg(engine="corr")).count(corpus)
+    with pytest.raises(ValueError, match="corr"):
+        Scanner([b"ACGT"], 1, _cfg(engine="corr")).count(corpus)
+    long = bytes(random_pattern(600, seed=13))  # m_max 600 > M_MAX_CORR
+    with pytest.raises(ValueError, match="corr"):
+        Scanner([long], 0, _cfg(engine="corr")).count(corpus)
+    # auto silently falls back for all three
+    for pats in ([wide], [long], [b"ACGT"]):
+        k = 0
+        got = Scanner(pats, k, _cfg(engine="auto")).count(corpus).tolist()
+        assert got == count_matches(corpus, pats, k)
+
+
+def test_corr_dense_matches():
+    """Every window hot (single-byte pattern on a one-letter corpus):
+    no filtration machinery involved, counts stay exact."""
+    corpus = np.full(50000, ord("A"), dtype=np.uint8)
+    pats = [b"A", b"AAAA", b"AT"]
+    exp = count_matches(corpus, pats, 0)
+    got = Scanner(pats, 0, _cfg(engine="corr")).count(corpus).tolist()
+    assert got == exp
+
+
+def test_corr_group_padding_boundary():
+    """Row count not divisible by the group size exercises the group-pad
+    mask (windows past n_rows must not count)."""
+    from apm.ops.corr_engine import _group_rows, build_alphabet, build_kernel, scan_corr_mxu
+    import jax.numpy as jnp
+
+    corpus = random_corpus(9000, seed=14)
+    pats = [b"ACG"]
+    m_max = 3
+    wf, halo = 256, 128
+    bound = len(corpus) - m_max + 1
+    n_rows = -(-bound // wf)
+    rows = np.zeros((n_rows, wf + halo), np.uint8)
+    for r in range(n_rows):
+        seg = corpus[r * wf : r * wf + wf + halo]
+        rows[r, : len(seg)] = seg
+    pat_raw = np.frombuffer(b"ACG", np.uint8)[None, :]
+    alph = build_alphabet(pats)
+    kern, thr = build_kernel(pat_raw, (3,), alph)
+    for g_rows in (7, 8, n_rows):  # 7 does not divide n_rows
+        got = np.asarray(
+            scan_corr_mxu(
+                jnp.asarray(rows), jnp.asarray(kern), jnp.asarray(thr),
+                jnp.asarray(alph),
+                jnp.asarray(bound, jnp.int32), jnp.asarray(0, jnp.int32),
+                wf=wf, m_max=m_max, n_rows=n_rows, g_rows=g_rows,
+            )
+        )
+        brute = sum(
+            1
+            for j in range(bound)
+            if bytes(corpus[j : j + 3]) == b"ACG"
+        )
+        assert got.tolist() == [brute], g_rows

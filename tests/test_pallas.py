@@ -166,3 +166,27 @@ def test_warmup_compiles_then_counts():
     sc = Scanner(pats, 1, cfg)
     sc.warmup(len(corpus))
     assert sc.count(corpus).tolist() == count_matches(corpus, pats, 1)
+
+
+def test_prewarm_background_thread():
+    """prewarm_bytes compiles on a daemon thread; counts stay correct
+    whether the scan races the prewarm or waits for it."""
+    corpus = random_dna(5000, seed=73)
+    pats = [random_dna(50, seed=74), b"ACG"]
+    cfg = ApmConfig(
+        backend="pallas",
+        interpret=True,
+        strategy="single",
+        prewarm_bytes=len(corpus),
+    )
+    sc = Scanner(pats, 1, cfg)
+    # race the prewarm deliberately: count() must be correct regardless
+    racing = sc.count(corpus).tolist()
+    assert sc.prewarm_join(timeout=120.0)
+    assert racing == count_matches(corpus, pats, 1)
+    assert sc.count(corpus).tolist() == count_matches(corpus, pats, 1)
+
+
+def test_prewarm_join_without_prewarm():
+    sc = Scanner([b"ACG"], 0, ApmConfig(backend="xla"))
+    assert sc.prewarm_join() is True
