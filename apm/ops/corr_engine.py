@@ -71,6 +71,14 @@ ALPHABET_MAX = 16
 # conv reads each m_max times).
 M_MAX_CORR = 512
 
+# "auto" crossover: total distinct pattern bytes at which the corr engine
+# overtakes the banded kernel. Measured on chip (DESIGN.md §8): parity at
+# sum(m_p) = 300 (the reference's 6 x 50-char set, 1.00 vs 1.04 GB/s),
+# corr 4.4x ahead at 800, 7.2x at 3200 — the banded kernel's compare
+# chains grow with sum(m_p) while the encode-bound conv stays flat.
+# engine="corr" bypasses this and forces the conv at any size.
+AUTO_MIN_WORK = 384
+
 # Target bytes of one-hot text materialized per mapped row group.
 GROUP_BYTES = 64 << 20
 
@@ -85,13 +93,20 @@ def build_alphabet(raw_patterns) -> np.ndarray:
     return np.unique(cat)
 
 
-def corr_eligible(plens, alphabet_size: int, m_max: int, k: int) -> bool:
-    """Gate for the correlation engine (see module docstring)."""
+def corr_eligible(
+    plens, alphabet_size: int, m_max: int, k: int, min_work: int = 0
+) -> bool:
+    """Gate for the correlation engine (see module docstring).
+
+    ``min_work`` is the "auto" routing threshold on total distinct
+    pattern bytes (``AUTO_MIN_WORK`` at the call site); pass 0 when the
+    engine is forced.
+    """
     return (
         k == 0
         and 0 < alphabet_size <= ALPHABET_MAX
         and 0 < m_max <= M_MAX_CORR
-        and any(m > 0 for m in plens)
+        and sum(plens) >= max(min_work, 1)
     )
 
 

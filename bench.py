@@ -107,6 +107,20 @@ def main() -> int:
         )
     except Exception:
         pass
+    # Many-pattern serving: 64 distinct 50-char patterns at k = 0 routes
+    # the MXU correlation engine (DESIGN.md §8) — throughput is flat in
+    # pattern count where the banded kernel's falls off (~140 MB/s here).
+    try:
+        pats64 = [
+            bytes(alpha[rng.integers(0, 4, size=50)]) for _ in range(64)
+        ]
+        sc_p64 = apm.Scanner(pats64, 0)
+        sc_p64.count(syn)
+        extras["steady_state_64mb_64pat_k0_mb_per_s"] = round(
+            len(syn) / _time_best(lambda: sc_p64.count(syn), 2) / 1e6, 1
+        )
+    except Exception:
+        pass
     # Large-corpus steady state (512 MB, two chunks).
     try:
         syn512 = alpha[rng.integers(0, 5, size=512 << 20)]

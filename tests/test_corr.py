@@ -23,13 +23,20 @@ def _cfg(**kw):
 
 def test_engine_selection_and_forcing():
     corpus = random_corpus(20000, seed=1)
-    pats = [b"ACGT", b"GATTACA"]
-    sc = Scanner(pats, 0, _cfg(engine="auto"))
+    # Above the measured auto crossover (sum of distinct pattern bytes >=
+    # AUTO_MIN_WORK) auto routes corr; below it the banded kernel wins.
+    big = [bytes(random_pattern(50, seed=s)) for s in range(10)]
+    sc = Scanner(big, 0, _cfg(engine="auto"))
     assert make_plan(sc, len(corpus), "pallas").engine == "corr"
-    sc = Scanner(pats, 0, _cfg(engine="dp"))
+    small = [b"ACGT", b"GATTACA"]
+    sc = Scanner(small, 0, _cfg(engine="auto"))
+    assert not make_plan(sc, len(corpus), "pallas").use_corr
+    sc = Scanner(small, 0, _cfg(engine="corr"))  # forced: any size
+    assert make_plan(sc, len(corpus), "pallas").use_corr
+    sc = Scanner(big, 0, _cfg(engine="dp"))
     assert make_plan(sc, len(corpus), "pallas").engine == "dp"
     # k >= 1 never routes corr
-    sc = Scanner(pats, 1, _cfg(engine="auto"))
+    sc = Scanner(big, 1, _cfg(engine="auto"))
     assert not make_plan(sc, len(corpus), "pallas").use_corr
 
 
@@ -70,7 +77,7 @@ def test_corr_eof_tail_and_tiny_corpus():
     for n in (1, 3, 4, 5, 64):
         corpus = np.frombuffer(b"TTTTGGTT" * 8, np.uint8)[:n].copy()
         exp = count_matches(corpus, pats, 0)
-        got = Scanner(pats, 0, _cfg(engine="auto")).count(corpus).tolist()
+        got = Scanner(pats, 0, _cfg(engine="corr")).count(corpus).tolist()
         assert got == exp, (n, got, exp)
 
 
@@ -78,7 +85,7 @@ def test_corr_sharded_database_strategy():
     corpus = random_corpus(300000, seed=9)
     pats = [b"ACGTACGT", b"CA", bytes(random_pattern(64, seed=10))]
     exp = count_matches(corpus, pats, 0)
-    cfg = _cfg(engine="auto", strategy="database_over_devices")
+    cfg = _cfg(engine="corr", strategy="database_over_devices")
     sc = Scanner(pats, 0, cfg)
     assert sc.count(corpus).tolist() == exp
     assert make_plan(sc, len(corpus), "pallas").use_corr
