@@ -155,12 +155,7 @@ def make_plan(scanner: "Scanner", n: int, backend: Optional[str] = None) -> Scan
     # k = 0 on the device path: exact matching is a one-hot correlation —
     # the MXU engine takes the WHOLE pattern set in one conv when eligible
     # (apm.ops.corr_engine). "auto" opts in silently; "corr" demands it.
-    from ..ops.corr_engine import (
-        ALPHABET_MAX,
-        AUTO_MIN_WORK,
-        M_MAX_CORR,
-        corr_eligible,
-    )
+    from ..ops.corr_engine import ALPHABET_MAX, M_MAX_CORR, corr_eligible
 
     use_corr = False
     if backend == "pallas" and k == 0 and engine in ("auto", "corr"):
@@ -169,7 +164,7 @@ def make_plan(scanner: "Scanner", n: int, backend: Optional[str] = None) -> Scan
             len(scanner._corr_alphabet()),
             scanner.m_max,
             k,
-            min_work=AUTO_MIN_WORK if engine == "auto" else 0,
+            auto=engine == "auto",
         )
     if scanner.config.engine == "corr" and not use_corr:
         raise ValueError(

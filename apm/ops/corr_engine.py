@@ -71,13 +71,17 @@ ALPHABET_MAX = 16
 # conv reads each m_max times).
 M_MAX_CORR = 512
 
-# "auto" crossover: total distinct pattern bytes at which the corr engine
-# overtakes the banded kernel. Measured on chip (DESIGN.md §8): parity at
-# sum(m_p) = 300 (the reference's 6 x 50-char set, 1.00 vs 1.04 GB/s),
-# corr 4.4x ahead at 800, 7.2x at 3200 — the banded kernel's compare
-# chains grow with sum(m_p) while the encode-bound conv stays flat.
-# engine="corr" bypasses this and forces the conv at any size.
-AUTO_MIN_WORK = 384
+# "auto" crossover, measured on chip at 256 MB with the ~30 ms/call link
+# latency amortized (DESIGN.md §8). The banded kernel's compare chains
+# scale with pattern bytes while the encode-bound conv stays flat, so
+# corr wins on BIG pattern sets (5.3x at 16x50, 14.4x at 64x50) and on
+# LONG patterns (2.1x at 2x50; 1.1x on the reference set, m_max = 50),
+# while the banded kernel keeps short-pattern scans (3.6 GB/s vs 0.6 at
+# 1x10, 3.5 vs 2.9 at 2x16). "auto" routes corr when the distinct
+# pattern bytes total >= AUTO_MIN_WORK or the longest pattern >=
+# AUTO_MIN_MMAX; engine="corr" bypasses both and forces the conv.
+AUTO_MIN_WORK = 256
+AUTO_MIN_MMAX = 48
 
 # Target bytes of one-hot text materialized per mapped row group.
 GROUP_BYTES = 64 << 20
@@ -94,20 +98,24 @@ def build_alphabet(raw_patterns) -> np.ndarray:
 
 
 def corr_eligible(
-    plens, alphabet_size: int, m_max: int, k: int, min_work: int = 0
+    plens, alphabet_size: int, m_max: int, k: int, auto: bool = False
 ) -> bool:
     """Gate for the correlation engine (see module docstring).
 
-    ``min_work`` is the "auto" routing threshold on total distinct
-    pattern bytes (``AUTO_MIN_WORK`` at the call site); pass 0 when the
-    engine is forced.
+    With ``auto=True`` the measured crossover applies on top of the hard
+    requirements: corr takes the scan only when the pattern set is heavy
+    (``sum >= AUTO_MIN_WORK``) or long (``m_max >= AUTO_MIN_MMAX``) —
+    the regimes where the conv measured ahead of the banded kernel.
     """
-    return (
+    ok = (
         k == 0
         and 0 < alphabet_size <= ALPHABET_MAX
         and 0 < m_max <= M_MAX_CORR
-        and sum(plens) >= max(min_work, 1)
+        and any(m > 0 for m in plens)
     )
+    if not ok or not auto:
+        return ok
+    return sum(plens) >= AUTO_MIN_WORK or m_max >= AUTO_MIN_MMAX
 
 
 def build_kernel(

@@ -109,15 +109,18 @@ def main() -> int:
         pass
     # Many-pattern serving: 64 distinct 50-char patterns at k = 0 routes
     # the MXU correlation engine (DESIGN.md §8) — throughput is flat in
-    # pattern count where the banded kernel's falls off (~140 MB/s here).
+    # pattern count where the banded kernel's falls off (~155 MB/s at
+    # this width). 256 MB so the ~30 ms/call link latency is amortized.
     try:
         pats64 = [
             bytes(alpha[rng.integers(0, 4, size=50)]) for _ in range(64)
         ]
+        syn256 = alpha[rng.integers(0, 5, size=256 << 20)]
         sc_p64 = apm.Scanner(pats64, 0)
-        sc_p64.count(syn)
-        extras["steady_state_64mb_64pat_k0_mb_per_s"] = round(
-            len(syn) / _time_best(lambda: sc_p64.count(syn), 2) / 1e6, 1
+        sc_p64.count(syn256)
+        extras["steady_state_256mb_64pat_k0_mb_per_s"] = round(
+            len(syn256) / _time_best(lambda: sc_p64.count(syn256), 2) / 1e6,
+            1,
         )
     except Exception:
         pass

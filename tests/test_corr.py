@@ -31,6 +31,10 @@ def test_engine_selection_and_forcing():
     small = [b"ACGT", b"GATTACA"]
     sc = Scanner(small, 0, _cfg(engine="auto"))
     assert not make_plan(sc, len(corpus), "pallas").use_corr
+    # one long pattern is enough: the banded chain scales with m_max
+    long1 = [bytes(random_pattern(60, seed=99))]
+    sc = Scanner(long1, 0, _cfg(engine="auto"))
+    assert make_plan(sc, len(corpus), "pallas").use_corr
     sc = Scanner(small, 0, _cfg(engine="corr"))  # forced: any size
     assert make_plan(sc, len(corpus), "pallas").use_corr
     sc = Scanner(big, 0, _cfg(engine="dp"))
