@@ -90,6 +90,7 @@ class ScanPlan:
     plens_dp: tuple  # static lengths routed to the banded DP kernel
     use_corr: bool = False  # k = 0 MXU correlation engine takes the scan
     plens_corr: tuple = ()  # static lengths routed to the corr engine
+    fp1_conv: bool = False  # k >= 1: run filtration phase 1 on the MXU
 
     @property
     def any_filter(self) -> bool:
@@ -192,6 +193,19 @@ def make_plan(scanner: "Scanner", n: int, backend: Optional[str] = None) -> Scan
     fmask, plens_filter, plens_dp = partition_plens(
         scanner._plens_static, k, engine if backend == "pallas" else "dp"
     )
+
+    # k >= 1 under "auto": run filtration phase 1 on the MXU when every
+    # filtration pattern qualifies (exact tier, selective pieces, measured
+    # conv-ahead crossover). engine="filter" pins the classic shift-OR
+    # kernel so the two phase-1 implementations stay A/B-comparable.
+    fp1_conv = False
+    if backend == "pallas" and engine == "auto" and any(plens_filter):
+        from ..ops.corr_engine import fp1_conv_eligible
+
+        fp1_conv = fp1_conv_eligible(
+            plens_filter, k, len(scanner._corr_alphabet())
+        )
+
     return ScanPlan(
         backend=backend,
         fold=fold,
@@ -203,6 +217,7 @@ def make_plan(scanner: "Scanner", n: int, backend: Optional[str] = None) -> Scan
         fmask=fmask,
         plens_filter=plens_filter,
         plens_dp=plens_dp,
+        fp1_conv=fp1_conv,
     )
 
 

@@ -136,6 +136,19 @@ class Scanner:
             )
         return kk
 
+    def _fp1_kernel(self, plens_filter: tuple):
+        """Piece-correlation tables for conv phase 1 (cached per split)."""
+        cached = getattr(self, "_fp1_cache", None)
+        if cached is not None and cached[0] == plens_filter:
+            return cached[1]
+        from ..ops.corr_engine import build_piece_kernel
+
+        tables = build_piece_kernel(
+            self._pat_raw, plens_filter, self.k, self._corr_alphabet()
+        )
+        self._fp1_cache = (plens_filter, tables)
+        return tables
+
     @staticmethod
     def _fingerprint(buf: np.ndarray) -> tuple:
         """Full-content fingerprint for the device-corpus cache.
@@ -319,6 +332,18 @@ class Scanner:
             g_rows = _group_rows(
                 wf + halo, len(self._corr_alphabet()), n_rows
             )
+        if plan.fp1_conv:
+            from ..ops.corr_engine import _group_rows
+            from ..ops.fused import filter_verify_chunk_conv
+
+            pk_np, pt_np, ow_np = self._fp1_kernel(plan.plens_filter)
+            dpkern = jax.numpy.asarray(pk_np)
+            dpthr = jax.numpy.asarray(pt_np)
+            downer = jax.numpy.asarray(ow_np)
+            dpalph = jax.numpy.asarray(self._corr_alphabet())
+            fp1_g_rows = _group_rows(
+                wf + halo, len(self._corr_alphabet()), n_rows
+            )
 
         handles = []  # (P,)-shaped device counts, fetched after the loop
         raw_chunks = []  # (c0, packed handle, rowmap handle)
@@ -351,6 +376,18 @@ class Scanner:
                         interpret=self.config.interpret,
                     )
                     handles.append(fcnt)  # exact: candidates ARE matches
+                elif plan.fp1_conv:
+                    packed, rowmap = filter_verify_chunk_conv(
+                        drows, dpkern, dpthr, downer, dpalph, dpat,
+                        dbound, dc0,
+                        k=k, m_max=self.m_max, wf=wf, halo=halo,
+                        plens=plan.plens_filter,
+                        w_kern=dpkern.shape[0], n_rows=n_rows,
+                        g_rows=fp1_g_rows,
+                        dp_dtype=self.config.dp_dtype,
+                        interpret=self.config.interpret,
+                    )
+                    raw_chunks.append((c0, packed, rowmap))
                 else:
                     packed, rowmap = filter_verify_chunk(
                         drows, dpat_raw, dpat, dbound, dc0,
@@ -523,6 +560,26 @@ class Scanner:
                     plens=plan.plens_filter, interpret=self.config.interpret,
                 )
                 np.asarray(fcnt)
+            elif plan.fp1_conv:
+                from ..ops.corr_engine import _group_rows
+                from ..ops.fused import filter_verify_chunk_conv
+
+                pk_np, pt_np, ow_np = self._fp1_kernel(plan.plens_filter)
+                packed, _ = filter_verify_chunk_conv(
+                    rows, jax.numpy.asarray(pk_np),
+                    jax.numpy.asarray(pt_np), jax.numpy.asarray(ow_np),
+                    jax.numpy.asarray(self._corr_alphabet()),
+                    jax.numpy.asarray(self._pat), zero32, zero32,
+                    k=k, m_max=self.m_max, wf=wf, halo=halo,
+                    plens=plan.plens_filter, w_kern=pk_np.shape[0],
+                    n_rows=n_rows,
+                    g_rows=_group_rows(
+                        wf + halo, len(self._corr_alphabet()), n_rows
+                    ),
+                    dp_dtype=self.config.dp_dtype,
+                    interpret=self.config.interpret,
+                )
+                np.asarray(packed)
             else:
                 packed, _ = filter_verify_chunk(
                     rows, jax.numpy.asarray(self._pat_raw),

@@ -211,3 +211,151 @@ def scan_corr_mxu(
 
     parts = jax.lax.map(one_group, (grouped, jnp.arange(G, dtype=jnp.int32)))
     return jnp.sum(parts, axis=0, dtype=jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Conv phase 1 for pigeonhole filtration (k >= 1).
+#
+# A window within distance k has at least one error-free piece (pigeonhole),
+# and exact piece matching is the same correlation as above with patterns
+# replaced by pieces. Phase 1 only needs ROW-level candidacy (verification
+# is row-granular), so the sound reduction is simply "any piece of pattern
+# p hits anywhere in the row (+halo)" — a superset of the filter kernel's
+# drift-consistent shift-OR, exact after verification, and much cheaper on
+# the conv path. The halo contract round_up(m_max + 2k, 128) provably
+# covers every drifted piece position: the furthest piece start is
+# wf-1 + (m_p - l_last) + k and pieces within a pattern differ by at most
+# one byte in length, so coverage reduces to k + 1 + l_last >= w_kern,
+# which holds with w_kern = l_last(+1) of the longest pattern.
+
+# Minimum piece length for the conv phase 1. Row-any candidacy pays a
+# selectivity penalty vs the shift-OR (~(wf+halo) candidate positions per
+# row instead of ~(2k+1)j per window); at the exact-tier eligibility edge
+# (l = 8, 4^-8 background) that floods every row, so pieces must carry a
+# couple more bytes of selectivity to qualify.
+FP1_LMIN = 10
+
+
+def fp1_conv_eligible(plens, k: int, alphabet_size: int) -> bool:
+    """True when EVERY filtration pattern can run conv phase 1.
+
+    Requirements: k >= 1, a conv-sized alphabet, all patterns exact-tier
+    (kp = 0 — banded-tier pieces tolerate one error, which a correlation
+    cannot express), pieces >= FP1_LMIN long, and the measured corr/banded
+    crossover (heavy or long pattern sets; see AUTO_MIN_WORK).
+    """
+    from .filter_kernel import pieces_of_j, tier_of
+
+    if k < 1 or not (0 < alphabet_size <= ALPHABET_MAX):
+        return False
+    ms = [m for m in plens if m > 0]
+    if not ms:
+        return False
+    for m in ms:
+        tier = tier_of(m, k)
+        if tier is None or tier[1] != 0:
+            return False
+        j = tier[0]
+        if min(length for _, length in pieces_of_j(m, j)) < FP1_LMIN:
+            return False
+        if max(length for _, length in pieces_of_j(m, j)) > M_MAX_CORR:
+            return False
+    return sum(ms) >= AUTO_MIN_WORK or max(ms) >= AUTO_MIN_MMAX
+
+
+def build_piece_kernel(pat_raw: np.ndarray, plens, k: int, alphabet):
+    """Piece-correlation tables for conv phase 1.
+
+    Returns ``(kern (w_kern, C, N) bf16, thr (N,) f32, owner (N, P) f32)``
+    where N is the total piece count across patterns and ``owner`` is the
+    piece->pattern one-hot used to combine piece hits into per-pattern row
+    maps with one small matmul.
+    """
+    from .filter_kernel import pieces_of_j, tier_of
+
+    P, m_max = pat_raw.shape
+    C = len(alphabet)
+    pieces = []  # (pattern index, offset, length)
+    for pi in range(P):
+        m = plens[pi]
+        if m == 0:
+            continue
+        j, kp = tier_of(m, k)
+        assert kp == 0, "conv phase 1 is exact-tier only"
+        for off, length in pieces_of_j(m, j):
+            pieces.append((pi, off, length))
+    n = len(pieces)
+    w_kern = max(length for _, _, length in pieces)
+    kern = np.zeros((w_kern, C, n), dtype=np.float32)
+    thr = np.zeros((n,), dtype=np.float32)
+    owner = np.zeros((n, P), dtype=np.float32)
+    for ni, (pi, off, length) in enumerate(pieces):
+        thr[ni] = length
+        owner[ni, pi] = 1.0
+        for i in range(length):
+            ci = int(np.searchsorted(alphabet, pat_raw[pi, off + i]))
+            kern[i, ci, ni] = 1.0
+    return kern.astype(jnp.bfloat16), thr, owner
+
+
+@functools.partial(
+    jax.jit, static_argnames=("wf", "w_kern", "n_rows", "g_rows")
+)
+def scan_pieces_conv(
+    rows: jax.Array,  # (R, wf + halo) uint8 — folded staged corpus rows
+    kern: jax.Array,  # (w_kern, C, N) bf16 — one-hot piece kernel
+    thr: jax.Array,  # (N,) f32 — per-piece thresholds (= piece lengths)
+    owner: jax.Array,  # (N, P) f32 — piece -> pattern one-hot
+    alph: jax.Array,  # (C,) uint8 — pattern alphabet
+    bound: jax.Array,  # () int32 — global window bound (exclusive)
+    start: jax.Array,  # () int32 — global window index of row 0
+    *,
+    wf: int,
+    w_kern: int,
+    n_rows: int,
+    g_rows: int,
+):
+    """Conv phase 1: ``(fcnt (P,) int32, rowmap (R, P) int32)``.
+
+    ``fcnt`` counts piece hits per pattern in rows that own at least one
+    valid window — a conservative candidate proxy (0 iff no candidates,
+    which is all the phase-2 decision tree needs). ``rowmap`` flags rows
+    with any piece hit; rows owning no valid window (past ``bound`` or
+    group padding) are masked so they can never go hot.
+    """
+    R, L = rows.shape
+    G = -(-R // g_rows)
+    pad = G * g_rows - R
+    if pad:
+        rows = jnp.pad(rows, ((0, pad), (0, 0)))
+    grouped = rows.reshape(G, g_rows, L)
+    row_in_g = jnp.arange(g_rows, dtype=jnp.int32)[:, None]
+
+    def one_group(args):
+        rg, g = args
+        t = (rg[:, :, None] == alph[None, None, :]).astype(jnp.bfloat16)
+        corr = jax.lax.conv_general_dilated(
+            t,
+            kern,
+            window_strides=(1,),
+            padding="VALID",
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            preferred_element_type=jnp.float32,
+        )  # (g_rows, L - w_kern + 1, N)
+        hit = corr >= thr[None, None, :]
+        r_abs = g * g_rows + row_in_g  # (g_rows, 1)
+        live = jnp.logical_and(
+            r_abs < n_rows, start + r_abs * wf < bound
+        )  # (g_rows, 1): row owns >= 1 valid window
+        hits_n = jnp.sum(
+            hit & live[:, :, None], axis=1, dtype=jnp.float32
+        )  # (g_rows, N) piece-hit counts per row
+        rowpat = hits_n @ owner  # (g_rows, P)
+        return rowpat
+
+    parts = jax.lax.map(
+        one_group, (grouped, jnp.arange(G, dtype=jnp.int32))
+    )  # (G, g_rows, P)
+    rowpat = parts.reshape(G * g_rows, -1)[:R]
+    fcnt = jnp.sum(rowpat, axis=0, dtype=jnp.int32)
+    return fcnt, (rowpat > 0).astype(jnp.int32)

@@ -102,6 +102,20 @@ def filter_verify_chunk(
         k=k, m_max=m_max, wf=wf, halo=halo, plens=plens,
         interpret=interpret,
     )
+    return _verify_phase2(
+        corpus_rows, fcnt, rowmap, pat, bound, start,
+        k=k, m_max=m_max, wf=wf, halo=halo, plens=plens, max_hot=max_hot,
+        dp_dtype=dp_dtype, interpret=interpret,
+    )
+
+
+def _verify_phase2(
+    corpus_rows, fcnt, rowmap, pat, bound, start, *, k, m_max, wf, halo,
+    plens, max_hot, dp_dtype, interpret,
+):
+    """Shared phase 2: gather hot rows from the device-resident staging,
+    verify with the banded kernel, pack the host-facing vector (see
+    :func:`filter_verify_chunk`)."""
     r_rows = corpus_rows.shape[0]
     hot = jnp.sum(rowmap, axis=1) > 0  # (R,)
     row_start = (
@@ -137,6 +151,60 @@ def filter_verify_chunk(
         ]
     )
     return packed, rowmap
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "m_max", "wf", "halo", "plens", "w_kern", "n_rows", "g_rows",
+        "max_hot", "dp_dtype", "interpret",
+    ),
+)
+def filter_verify_chunk_conv(
+    corpus_rows: jax.Array,  # (R, wf + halo) uint8 — folded corpus rows
+    pkern: jax.Array,  # (w_kern, C, N) bf16 — one-hot piece kernel
+    pthr: jax.Array,  # (N,) f32 — piece thresholds
+    owner: jax.Array,  # (N, P) f32 — piece -> pattern one-hot
+    alph: jax.Array,  # (C,) uint8 — pattern alphabet
+    pat: jax.Array,  # (P, m_max + 2k) uint8 — k-padded pattern table
+    bound: jax.Array,  # () int32 — global window bound (exclusive)
+    start: jax.Array,  # () int32 — global window index of row 0
+    *,
+    k: int,
+    m_max: int,
+    wf: int,
+    halo: int,
+    plens: tuple,
+    w_kern: int,
+    n_rows: int,
+    g_rows: int,
+    max_hot: int = MAX_HOT,
+    dp_dtype: str = "int32",
+    interpret: bool = False,
+):
+    """:func:`filter_verify_chunk` with conv phase 1 (k >= 1).
+
+    Phase 1 runs pigeonhole piece matching on the MXU
+    (``apm.ops.corr_engine.scan_pieces_conv``) instead of the shift-OR
+    filter kernel — same ``(packed, rowmap)`` contract, row maps are a
+    conservative superset (row-any candidacy), and phase 2 is shared, so
+    counts are identical. Selected by ``ScanPlan.fp1_conv``
+    (``fp1_conv_eligible``: all patterns exact-tier with pieces >=
+    FP1_LMIN long and the measured conv-ahead crossover).
+    """
+    from .corr_engine import scan_pieces_conv
+
+    assert k >= 1
+    assert max_hot % FOLD == 0 and max_hot > 0
+    fcnt, rowmap = scan_pieces_conv(
+        corpus_rows, pkern, pthr, owner, alph, bound, start,
+        wf=wf, w_kern=w_kern, n_rows=n_rows, g_rows=g_rows,
+    )
+    return _verify_phase2(
+        corpus_rows, fcnt, rowmap, pat, bound, start,
+        k=k, m_max=m_max, wf=wf, halo=halo, plens=plens, max_hot=max_hot,
+        dp_dtype=dp_dtype, interpret=interpret,
+    )
 
 
 def unpack_chunk(packed, p: int):

@@ -192,13 +192,46 @@ def count_multihost(scanner: "Scanner", path: str) -> np.ndarray:
                 )
                 counts += np.asarray(fcnt)
             else:
-                packed, rowmaps = _filter_verify_sharded(
-                    shards, starts, dpat_raw, dpat, dbound,
-                    mesh=mesh, k=k, m_max=m_max, w=wf, halo=halo,
-                    plens=plan.plens_filter,
-                    dp_dtype=scanner.config.dp_dtype,
-                    interpret=scanner.config.interpret,
-                )
+                if plan.fp1_conv:
+                    from ..ops.corr_engine import _group_rows
+                    from .strategies import _filter_verify_conv_sharded
+
+                    pk_np, pt_np, ow_np = scanner._fp1_kernel(
+                        plan.plens_filter
+                    )
+                    packed, rowmaps = _filter_verify_conv_sharded(
+                        shards, starts,
+                        jax.device_put(
+                            pk_np, NamedSharding(mesh, P(None, None, None))
+                        ),
+                        jax.device_put(pt_np, NamedSharding(mesh, P(None))),
+                        jax.device_put(
+                            ow_np, NamedSharding(mesh, P(None, None))
+                        ),
+                        jax.device_put(
+                            scanner._corr_alphabet(),
+                            NamedSharding(mesh, P(None)),
+                        ),
+                        dpat, dbound,
+                        mesh=mesh, k=k, m_max=m_max, w=wf, halo=halo,
+                        plens=plan.plens_filter,
+                        w_kern=pk_np.shape[0], n_rows=rows_per,
+                        g_rows=_group_rows(
+                            wf + halo,
+                            len(scanner._corr_alphabet()),
+                            rows_per,
+                        ),
+                        dp_dtype=scanner.config.dp_dtype,
+                        interpret=scanner.config.interpret,
+                    )
+                else:
+                    packed, rowmaps = _filter_verify_sharded(
+                        shards, starts, dpat_raw, dpat, dbound,
+                        mesh=mesh, k=k, m_max=m_max, w=wf, halo=halo,
+                        plens=plan.plens_filter,
+                        dp_dtype=scanner.config.dp_dtype,
+                        interpret=scanner.config.interpret,
+                    )
                 # Row maps are device-sharded; only a single process can
                 # fetch them all. Multi-process overflow recovery falls
                 # back to the banded rescan inside finalize_filtration.

@@ -191,6 +191,54 @@ def _filter_verify_sharded(
     )(shards, starts, pat_raw, pat, bound)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "k", "m_max", "w", "halo", "plens", "w_kern", "n_rows",
+        "g_rows", "dp_dtype", "interpret",
+    ),
+)
+def _filter_verify_conv_sharded(
+    shards, starts, pkern, pthr, owner, alph, pat, bound, *, mesh, k, m_max,
+    w, halo, plens, w_kern, n_rows, g_rows, dp_dtype="int32",
+    interpret=False,
+):
+    """:func:`_filter_verify_sharded` with conv phase 1
+    (``apm.ops.fused.filter_verify_chunk_conv``) — same packed layout."""
+    from ..ops.fused import filter_verify_chunk_conv
+
+    def body(shard, start, pkern, pthr, owner, alph, pat, bound):
+        packed, rowmap = filter_verify_chunk_conv(
+            shard[0], pkern, pthr, owner, alph, pat, bound, start[0],
+            k=k, m_max=m_max, wf=w, halo=halo, plens=plens,
+            w_kern=w_kern, n_rows=n_rows, g_rows=g_rows,
+            dp_dtype=dp_dtype, interpret=interpret,
+        )
+        p = pat.shape[0]
+        fcnt, vcnt = packed[:p], packed[p : 2 * p]
+        n_hot, clip_starts = packed[2 * p : 2 * p + 1], packed[2 * p + 1 :]
+        out = jnp.concatenate(
+            [
+                jax.lax.psum(fcnt, "data"),
+                jax.lax.psum(vcnt, "data"),
+                jax.lax.all_gather(n_hot, "data").reshape(-1),
+                jax.lax.all_gather(clip_starts, "data").reshape(-1),
+            ]
+        )
+        return out, rowmap[None]
+
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            P("data", None, None), P("data"), P(None, None, None), P(None),
+            P(None, None), P(None), P(None, None), P(),
+        ),
+        out_specs=(P(None), P("data", None, None)),
+        check_vma=False,
+    )(shards, starts, pkern, pthr, owner, alph, pat, bound)
+
+
 def _unpack_sharded(packed, p: int, n_dev: int):
     """Split a fetched sharded ``packed`` vector: (fcnt, vcnt, n_hots (D,),
     clip_starts (D, MAX_CLIP))."""
@@ -320,13 +368,44 @@ def count_database_over_devices(scanner: "Scanner", buf: np.ndarray, n_dev: int)
                     )
                     counts += np.asarray(fcnt)
                 else:
-                    packed, rowmaps = _filter_verify_sharded(
-                        dshards, dstarts, dpat_raw, dpat, dbound,
-                        mesh=mesh, k=k, m_max=m_max, w=wf, halo=halo,
-                        plens=plan.plens_filter,
-                        dp_dtype=scanner.config.dp_dtype,
-                        interpret=scanner.config.interpret,
-                    )
+                    if plan.fp1_conv:
+                        from ..ops.corr_engine import _group_rows
+
+                        pk_np, pt_np, ow_np = scanner._fp1_kernel(
+                            plan.plens_filter
+                        )
+                        rep3 = NamedSharding(mesh, P(None, None, None))
+                        rep1 = NamedSharding(mesh, P(None))
+                        packed, rowmaps = _filter_verify_conv_sharded(
+                            dshards, dstarts,
+                            jax.device_put(pk_np, rep3),
+                            jax.device_put(pt_np, rep1),
+                            jax.device_put(
+                                ow_np, NamedSharding(mesh, P(None, None))
+                            ),
+                            jax.device_put(
+                                scanner._corr_alphabet(), rep1
+                            ),
+                            dpat, dbound,
+                            mesh=mesh, k=k, m_max=m_max, w=wf, halo=halo,
+                            plens=plan.plens_filter,
+                            w_kern=pk_np.shape[0], n_rows=rows_per,
+                            g_rows=_group_rows(
+                                wf + halo,
+                                len(scanner._corr_alphabet()),
+                                rows_per,
+                            ),
+                            dp_dtype=scanner.config.dp_dtype,
+                            interpret=scanner.config.interpret,
+                        )
+                    else:
+                        packed, rowmaps = _filter_verify_sharded(
+                            dshards, dstarts, dpat_raw, dpat, dbound,
+                            mesh=mesh, k=k, m_max=m_max, w=wf, halo=halo,
+                            plens=plan.plens_filter,
+                            dp_dtype=scanner.config.dp_dtype,
+                            interpret=scanner.config.interpret,
+                        )
                     rm_cache: dict = {}
 
                     def fetch_rowmap(d):

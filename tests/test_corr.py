@@ -137,6 +137,107 @@ def test_corr_dense_matches():
     assert got == exp
 
 
+# -- conv phase 1 for k >= 1 filtration ---------------------------------------
+
+
+def test_fp1_conv_plan_gating():
+    """fp1_conv routes only exact-tier, long-piece, above-crossover sets."""
+    n = 300000
+    pats = [bytes(random_pattern(120, seed=s)) for s in range(3)]
+    plan = make_plan(Scanner(pats, 1, _cfg(engine="auto")), n, "pallas")
+    assert plan.fp1_conv and any(plan.plens_filter)
+    # engine="filter" pins the classic shift-OR phase 1
+    sc = Scanner(pats, 1, _cfg(engine="filter"))
+    assert not make_plan(sc, n, "pallas").fp1_conv
+    # one short-piece pattern (m=18, k=1 -> 9-byte pieces < FP1_LMIN)
+    # disqualifies the whole set
+    mixed = pats + [bytes(random_pattern(18, seed=9))]
+    sc = Scanner(mixed, 1, _cfg(engine="auto"))
+    assert not make_plan(sc, n, "pallas").fp1_conv
+    # k=0 is the corr engine's territory, never conv phase 1
+    sc = Scanner(pats, 0, _cfg(engine="auto"))
+    assert not make_plan(sc, n, "pallas").fp1_conv
+    # banded-tier patterns (one-error pieces) cannot run on a correlation
+    sc = Scanner([bytes(random_pattern(90, seed=10))], 6, _cfg(engine="auto"))
+    plan6 = make_plan(sc, n, "pallas")
+    assert any(plan6.plens_filter) and not plan6.fp1_conv
+    # wide alphabets have no one-hot channel budget
+    wide = [bytes(range(64, 64 + 30)) + bytes(random_pattern(90, seed=11))]
+    sc = Scanner(wide, 1, _cfg(engine="auto"))
+    assert not make_plan(sc, n, "pallas").fp1_conv
+
+
+@pytest.mark.parametrize("k", [1, 2, 4])
+def test_fp1_conv_matches_oracle(k):
+    """Conv phase 1 + shared device verification == oracle == classic
+    filter kernel, with planted k-error matches."""
+    corpus = random_corpus(60000, seed=50 + k)
+    pats = [
+        bytes(random_pattern(120, seed=60 + k)),
+        bytes(random_pattern(75, seed=70 + k)),
+    ]
+    for i, p in enumerate(pats):
+        plant(
+            corpus, np.frombuffer(p, np.uint8),
+            [500 + 7000 * i, 30000 + 128 * i, 59000], k=k, seed=80 + k + i,
+        )
+    sc = Scanner(pats, k, _cfg(engine="auto"))
+    assert make_plan(sc, len(corpus), "pallas").fp1_conv
+    exp = count_matches(corpus, pats, k)
+    assert sum(exp) >= 4
+    assert sc.count(corpus).tolist() == exp
+    got_f = Scanner(pats, k, _cfg(engine="filter")).count(corpus).tolist()
+    assert got_f == exp
+
+
+def test_fp1_conv_dense_overflow_recovery():
+    """Low-entropy corpus floods the row maps: the shared phase 2 must
+    recover (hot-row overflow / density fallback) with exact counts."""
+    corpus = np.full(40000, ord("A"), dtype=np.uint8)
+    pats = [b"A" * 108 + b"C" * 12]  # fp1-eligible, every row goes hot
+    sc = Scanner(pats, 1, _cfg(engine="auto"))
+    assert make_plan(sc, len(corpus), "pallas").fp1_conv
+    exp = count_matches(corpus, pats, 1)
+    assert sc.count(corpus).tolist() == exp
+
+
+def test_fp1_conv_sharded_and_multihost():
+    """Conv phase 1 through database_over_devices and count_multihost."""
+    import os
+    import tempfile
+
+    import jax
+
+    from apm.parallel.multihost import count_multihost
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    k = 1
+    corpus = random_corpus(90000, seed=90)
+    pats = [bytes(random_pattern(120, seed=91)),
+            bytes(random_pattern(64, seed=92))]
+    for i, p in enumerate(pats):
+        plant(
+            corpus, np.frombuffer(p, np.uint8),
+            [1000 + 13000 * i, 44000 + 128 * i, 88000], k=k, seed=93 + i,
+        )
+    exp = count_matches(corpus, pats, k)
+    assert sum(exp) >= 6
+    cfg = _cfg(engine="auto", strategy="database_over_devices")
+    sc = Scanner(pats, k, cfg)
+    assert make_plan(sc, len(corpus), "pallas").fp1_conv
+    assert sc.count(corpus).tolist() == exp
+    with tempfile.NamedTemporaryFile(suffix=".fa", delete=False) as f:
+        f.write(corpus.tobytes())
+        path = f.name
+    try:
+        sc2 = Scanner(pats, k, _cfg(engine="auto"))
+        got = [int(c) for c in count_multihost(sc2, path)[: len(pats)]]
+        assert got == exp
+    finally:
+        os.unlink(path)
+
+
 def test_corr_group_padding_boundary():
     """Row count not divisible by the group size exercises the group-pad
     mask (windows past n_rows must not count)."""
