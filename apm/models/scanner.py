@@ -598,15 +598,26 @@ class Scanner:
         (untruncated and EOF-truncated windows alike, same semantics as
         :meth:`count`). ``limit`` caps positions per pattern.
 
-        Implementation: filtration-eligible patterns locate candidates with
-        the phase-1 kernel's row map and resolve exact positions with the
-        banded oracle on the hot rows only; other patterns fall back to an
+        Implementation: filtration-eligible patterns resolve positions ON
+        DEVICE in one fused call per chunk (``find_positions_chunk``:
+        phase-1 filtration, hot-row compaction, verdict-mask
+        re-verification) — the host fetches one small meta vector plus a
+        bit-packed verdict mask, so dense-match sweeps stay at device
+        speed and zero-candidate chunks cost a single fetch. Only the (at
+        most one per chunk) window-bound-clipped row and the EOF tail
+        fall back to the host oracle; other patterns fall back to an
         oracle sweep (fine for the small/rare-k cases they represent).
         """
         from ..ops.filter_kernel import (
             FOLD as FILTER_FOLD,
             partition_plens,
-            scan_filter_pallas,
+        )
+        from ..ops.fused import (
+            FIND_BATCH,
+            MAX_CLIP,
+            find_positions_chunk,
+            gather_mask_rows,
+            unpack_mask_bits,
         )
         from ..ops.pallas_kernel import _DTYPE_FOLD
         from ..utils.oracle import banded_distances
@@ -615,10 +626,8 @@ class Scanner:
         n = len(buf)
         k = self.k
         nw = max(n - k, 0)
-        uniq_positions = [
-            np.zeros((0,), dtype=np.int64)
-            for _ in range(self.scan_patterns.num_patterns)
-        ]
+        p_all = self.scan_patterns.num_patterns
+        uniq_positions = [np.zeros((0,), dtype=np.int64) for _ in range(p_all)]
         if nw > 0:
             fold = _DTYPE_FOLD[self.config.dp_dtype]
             backend = self._resolve_backend()
@@ -627,7 +636,8 @@ class Scanner:
                 self._plens_static, k, "filter" if use_kernel else "dp"
             )
             dev_bound = self.device_window_bound(n)
-            hot_rows_by_pattern = {}
+            dev_positions = {pi: [] for pi in range(p_all)}  # np arrays
+            clip_ranges = []  # bound-clipped hot rows -> host oracle
             wf = None
             if use_kernel and any(plens_filter) and dev_bound > 0:
                 w = round_up(
@@ -645,40 +655,83 @@ class Scanner:
                     if self.config.cache_corpus
                     else None
                 )
+                kw = dict(
+                    k=k, m_max=self.m_max, wf=wf, halo=halo,
+                    plens=plens_filter, p_real=p_all,
+                    dp_dtype=self.config.dp_dtype,
+                    interpret=self.config.interpret,
+                )
                 dpat_raw = jax.numpy.asarray(self._pat_raw)
+                dpat = jax.numpy.asarray(self._pat)
                 dbound = jax.numpy.asarray(dev_bound, dtype=np.int32)
-                for c0 in range(0, dev_bound, chunk_win):
-                    drows = self._staged_rows(buf, fp, c0, n_rows, wf, halo)
-                    fcnt, rowmap = scan_filter_pallas(
-                        drows, dpat_raw, dbound,
-                        jax.numpy.asarray(c0, dtype=np.int32),
-                        k=k, m_max=self.m_max, wf=wf, halo=halo,
-                        plens=plens_filter,
-                        interpret=self.config.interpret,
-                    )
-                    if int(np.asarray(fcnt).sum()) == 0:
-                        continue
-                    rm = np.asarray(rowmap)
-                    for pi in range(self.scan_patterns.num_patterns):
+
+                def collect(bits_np, rows_np, c0):
+                    """Append positions from a fetched bit-packed mask."""
+                    for pi in range(p_all):
                         if not fmask[pi]:
                             continue
-                        for r in np.nonzero(rm[:, pi])[0]:
-                            hot_rows_by_pattern.setdefault(pi, []).append(
-                                c0 + int(r) * wf
+                        m01 = unpack_mask_bits(bits_np, pi, len(rows_np))
+                        hh, ll = np.nonzero(m01[:, :wf])
+                        if len(hh):
+                            dev_positions[pi].append(
+                                c0 + rows_np[hh].astype(np.int64) * wf + ll
                             )
+
+                for c0 in range(0, dev_bound, chunk_win):
+                    drows = self._staged_rows(buf, fp, c0, n_rows, wf, halo)
+                    meta, bits, rowmap = find_positions_chunk(
+                        drows, dpat_raw, dpat, dbound,
+                        jax.numpy.asarray(c0, dtype=np.int32), **kw
+                    )
+                    mv = np.asarray(meta)
+                    fcnt = mv[: len(plens_filter)]
+                    n_hot = int(mv[len(plens_filter)])
+                    idx = mv[
+                        len(plens_filter) + 1 : len(plens_filter) + 1 + FIND_BATCH
+                    ]
+                    clip_starts = mv[len(plens_filter) + 1 + FIND_BATCH :]
+                    assert len(clip_starts) == MAX_CLIP
+                    clip_ranges.extend(
+                        (int(cs), min(int(cs) + wf, dev_bound))
+                        for cs in clip_starts
+                        if cs >= 0
+                    )
+                    if int(fcnt.sum()) == 0:
+                        continue
+                    n_first = min(n_hot, FIND_BATCH)
+                    if n_first > 0:
+                        collect(np.asarray(bits), idx[:n_first], c0)
+                    if n_hot > FIND_BATCH:
+                        # Overflow: remaining hot rows via explicit batches.
+                        rm = np.asarray(rowmap)
+                        hot = np.nonzero(np.sum(rm, axis=1) > 0)[0]
+                        full = c0 + (hot + 1) * wf <= dev_bound
+                        hot = hot[full][FIND_BATCH:]
+                        r_rows = drows.shape[0]
+                        for b0 in range(0, len(hot), FIND_BATCH):
+                            batch = hot[b0 : b0 + FIND_BATCH]
+                            bidx = np.full(FIND_BATCH, r_rows, dtype=np.int32)
+                            bidx[: len(batch)] = batch
+                            bbits = np.asarray(
+                                gather_mask_rows(
+                                    drows, jax.numpy.asarray(bidx), dpat,
+                                    jax.numpy.asarray(
+                                        len(batch), dtype=np.int32
+                                    ),
+                                    **kw,
+                                )
+                            )
+                            collect(bbits, batch, c0)
             for pi, raw in enumerate(self.scan_patterns.raw):
                 pat = np.frombuffer(raw, np.uint8)
                 if use_kernel and fmask[pi]:
-                    # exact positions from hot rows + the EOF tail
-                    ranges = [
-                        (j0, min(j0 + wf, dev_bound))
-                        for j0 in sorted(set(hot_rows_by_pattern.get(pi, [])))
-                    ]
+                    # device mask positions + clipped rows + the EOF tail
+                    ranges = list(clip_ranges)
                     if dev_bound < nw:
                         ranges.append((dev_bound, nw))
                 else:
                     ranges = [(0, nw)]  # full oracle sweep
-                found = []
+                found = list(dev_positions[pi]) if fmask[pi] else []
                 m = len(pat)
                 for j0, j1 in ranges:
                     if j0 >= j1:
@@ -691,11 +744,18 @@ class Scanner:
                     hits = np.nonzero(d[: j1 - j0] <= k)[0] + j0
                     found.append(hits)
                 pos = (
-                    np.concatenate(found)
+                    np.concatenate(found).astype(np.int64)
                     if found
                     else np.zeros((0,), dtype=np.int64)
                 )
-                pos = np.unique(pos).astype(np.int64)
+                # Segments are generated ascending and disjoint (chunks in
+                # order, rows ascending within a chunk, the <= 1 clipped
+                # row and the EOF tail last and past all device windows),
+                # so the concatenation is normally already sorted-unique —
+                # checking is O(n), the sort it avoids dominated dense
+                # sweeps (measured 3.4 s on 4.2M positions).
+                if len(pos) > 1 and not np.all(pos[1:] > pos[:-1]):
+                    pos = np.unique(pos)
                 if limit is not None:
                     pos = pos[:limit]
                 uniq_positions[pi] = pos

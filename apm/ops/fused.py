@@ -207,6 +207,158 @@ def filter_verify_chunk_conv(
     )
 
 
+# Hot rows verified per gather batch in Scanner.find's device position
+# path. Larger than MAX_HOT (find is explicitly a position sweep, often
+# dense) but bounded so the per-batch bit-packed verdict fetch stays small
+# (n_batch * P * wf / 8 bytes — 512 KB/pattern at wf 8192).
+FIND_BATCH = 512
+
+
+def _pack_mask_bits(mask: jax.Array, p_real: int) -> jax.Array:
+    """Bit-pack a ``(R, P, wf) int8`` verdict mask to ``(R, p_real,
+    wf // 32) uint32`` — window ``j'`` of row ``r`` is bit ``j' % 32``
+    (little-endian) of word ``j' // 32``. The device→host fetch is the
+    position path's bottleneck on tunneled links (measured 6+ s for a
+    33 MB int8 mask); 1 bit/window plus dropping the pattern-table
+    padding rows shrinks it 32x-plus."""
+    r, _, wf = mask.shape
+    bits = mask[:, :p_real, :].reshape(r, p_real, wf // 32, 32)
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
+    return jnp.sum(bits.astype(jnp.uint32) * weights, axis=-1, dtype=jnp.uint32)
+
+
+def unpack_mask_bits(packed: "np.ndarray", pi: int, n_rows: int):
+    """Host-side inverse of :func:`_pack_mask_bits` for one pattern:
+    ``(n_rows, wf) uint8`` 0/1 verdicts."""
+    import numpy as np
+
+    sub = np.ascontiguousarray(packed[:n_rows, pi, :])
+    return np.unpackbits(
+        sub.view(np.uint8), bitorder="little"
+    ).reshape(n_rows, sub.shape[1] * 32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "m_max", "wf", "halo", "plens", "p_real", "dp_dtype",
+        "interpret",
+    ),
+)
+def gather_mask_rows(
+    corpus_rows: jax.Array,  # (R, wf + halo) uint8 — device-resident staging
+    idx: jax.Array,  # (n_batch,) int32 — hot row indices (>= R = padding)
+    pat: jax.Array,  # (P, m_max + 2k) uint8 — k-padded pattern table
+    n_real: jax.Array,  # () int32 — true hot rows in this batch
+    *,
+    k: int,
+    m_max: int,
+    wf: int,
+    halo: int,
+    plens: tuple,
+    p_real: int,  # real pattern rows (table rows beyond are padding)
+    dp_dtype: str = "int32",
+    interpret: bool = False,
+):
+    """Gather hot rows out of the device staging and return their
+    bit-packed per-window verdict mask ``(n_batch, p_real, wf//32)
+    uint32`` (see :func:`_pack_mask_bits`).
+
+    The gather stays on device (the staging is already resident), the
+    banded kernel re-runs only the gathered rows, and the caller maps
+    mask coordinates back to global window starts via its own ``idx`` —
+    this is :meth:`Scanner.find`'s phase 2 overflow path, all positions
+    resolved at device speed instead of a host-side oracle re-scan.
+    """
+    stage = jnp.take(corpus_rows, idx, axis=0, mode="fill", fill_value=0)
+    vbound = n_real.astype(jnp.int32) * wf
+    from .pallas_kernel import scan_folded_pallas_mask
+
+    _, mask = scan_folded_pallas_mask(
+        stage, pat, vbound, jnp.int32(0),
+        k=k, m_max=m_max, wf=wf, halo=halo, plens=plens,
+        dp_dtype=dp_dtype, interpret=interpret,
+    )
+    return _pack_mask_bits(mask, p_real)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "m_max", "wf", "halo", "plens", "p_real", "n_batch",
+        "dp_dtype", "interpret",
+    ),
+)
+def find_positions_chunk(
+    corpus_rows: jax.Array,  # (R, wf + halo) uint8 — folded corpus rows
+    pat_raw: jax.Array,  # (P, m_max) uint8 — raw pattern table
+    pat: jax.Array,  # (P, m_max + 2k) uint8 — k-padded pattern table
+    bound: jax.Array,  # () int32 — global window bound (exclusive)
+    start: jax.Array,  # () int32 — global window index of row 0
+    *,
+    k: int,
+    m_max: int,
+    wf: int,
+    halo: int,
+    plens: tuple,
+    p_real: int,
+    n_batch: int = FIND_BATCH,
+    dp_dtype: str = "int32",
+    interpret: bool = False,
+):
+    """One-call position extraction for one staged chunk (``Scanner.find``).
+
+    Phase 1 (pigeonhole filtration), hot-row compaction, and the verdict-
+    mask re-verification all run in ONE device program, mirroring
+    :func:`filter_verify_chunk`'s latency discipline: the host fetches a
+    single small ``meta`` int32 vector — layout ``[fcnt (P) | n_hot (1) |
+    idx (n_batch) | clip_starts (MAX_CLIP)]`` — and, only when candidates
+    exist, the bit-packed verdicts ``(n_batch, p_real, wf//32) uint32``.
+    Zero-candidate chunks cost one fetch; sparse and dense matches alike
+    resolve positions at device speed. ``rowmap`` stays on device and is
+    fetched only when ``n_hot > n_batch`` (overflow → further
+    :func:`gather_mask_rows` batches over the remaining hot rows).
+    """
+    from .pallas_kernel import scan_folded_pallas_mask
+
+    assert n_batch % FOLD == 0 and n_batch > 0
+    fcnt, rowmap = scan_filter_pallas(
+        corpus_rows, pat_raw, bound, start,
+        k=k, m_max=m_max, wf=wf, halo=halo, plens=plens,
+        interpret=interpret,
+    )
+    r_rows = corpus_rows.shape[0]
+    hot = jnp.sum(rowmap, axis=1) > 0  # (R,)
+    row_start = (
+        start.astype(jnp.int32)
+        + jnp.arange(r_rows, dtype=jnp.int32) * wf
+    )
+    full = row_start + wf <= bound
+    use = jnp.logical_and(hot, full)
+    n_hot = jnp.sum(use.astype(jnp.int32))
+
+    idx = jnp.nonzero(use, size=n_batch, fill_value=r_rows)[0].astype(
+        jnp.int32
+    )
+    stage = jnp.take(corpus_rows, idx, axis=0, mode="fill", fill_value=0)
+    vbound = jnp.minimum(n_hot, n_batch) * wf
+    _, mask = scan_folded_pallas_mask(
+        stage, pat, vbound, jnp.int32(0),
+        k=k, m_max=m_max, wf=wf, halo=halo, plens=plens,
+        dp_dtype=dp_dtype, interpret=interpret,
+    )
+
+    clip = jnp.logical_and(hot, jnp.logical_not(full))
+    clip_idx = jnp.nonzero(clip, size=MAX_CLIP, fill_value=-1)[0]
+    clip_starts = jnp.where(
+        clip_idx >= 0, start + clip_idx.astype(jnp.int32) * wf, -1
+    )
+    meta = jnp.concatenate(
+        [fcnt.astype(jnp.int32), n_hot.reshape(1), idx, clip_starts]
+    )
+    return meta, _pack_mask_bits(mask, p_real), rowmap
+
+
 def unpack_chunk(packed, p: int):
     """Split a fetched ``packed`` vector back into its four parts."""
     import numpy as np

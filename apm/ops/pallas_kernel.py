@@ -148,6 +148,8 @@ def _scan_kernel_unrolled(
     corpus_ref,  # VMEM (fold, wf + halo) uint8 — this block's text rows
     out_ref,  # VMEM (P * fold, 1) int32 — per-row match counts (batch
     # mode: this BLOCK's counts — each block owns its own output slot)
+    mask_ref=None,  # VMEM (P * fold, wf) int32 — per-WINDOW verdicts for
+    # this block (present only in mask mode; each block owns its own slot)
     *,
     k: int,
     m_max: int,
@@ -190,6 +192,8 @@ def _scan_kernel_unrolled(
     else:
         inf_val = cap  # clamped domain: cap already means "> k"
     active = sorted({m for m in plens if m > 0})
+    if mask_ref is not None:
+        mask_ref[:] = jnp.zeros_like(mask_ref)  # covers padding patterns
     if not active:
         out_ref[:] = jnp.zeros_like(out_ref)
         return
@@ -318,6 +322,8 @@ def _scan_kernel_unrolled(
         out_ref[pl.ds(pi * fold, fold), :] += jnp.sum(
             hits.astype(jnp.int32), axis=1, keepdims=True
         )
+        if mask_ref is not None:
+            mask_ref[pl.ds(pi * fold, fold), :] = hits.astype(jnp.int32)
 
 
 _DTYPE_FOLD = {"int32": 8, "int16": 16, "int8": 32}
@@ -483,6 +489,102 @@ def scan_folded_pallas_batch(
     )(meta.astype(jnp.int32), pchar, corpus_rows)
     # (nblk, P): per-block per-pattern counts
     return jnp.sum(counts.reshape(nblk, p, fold), axis=2)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "m_max", "wf", "halo", "plens", "dp_dtype", "interpret"
+    ),
+)
+def scan_folded_pallas_mask(
+    corpus_rows: jax.Array,  # (R, wf + halo) uint8 — folded corpus rows
+    pat: jax.Array,  # (P, m_max + 2k) uint8 — k-padded pattern table
+    bound: jax.Array,  # () int32 — window-index bound (exclusive)
+    start: jax.Array,  # () int32 — window index of row 0, byte 0
+    *,
+    k: int,
+    m_max: int,
+    wf: int,
+    halo: int,
+    plens: tuple,
+    dp_dtype: str = "int32",
+    interpret: bool = False,
+):
+    """:func:`scan_folded_pallas_unrolled` that also returns the per-WINDOW
+    verdict mask — ``(counts (P,), mask (R, P, wf) int8)`` with
+    ``mask[r, pi, j'] = 1`` iff window ``start + r*wf + j'`` matches pattern
+    ``pi`` (and is ``< bound``). Powers :meth:`Scanner.find`'s device-side
+    position extraction: the mask is written per block straight from the DP
+    verdicts the counting kernel already computes, so positions cost one
+    extra VMEM store per pattern per block plus a small int8 fetch — no
+    host-side DP at all. Meant for modest row counts (gathered hot rows);
+    the mask is R*P*wf bytes.
+    """
+    p = pat.shape[0]
+    fold = _DTYPE_FOLD[dp_dtype]
+    dtype = jnp.dtype(dp_dtype).type
+    r_rows, wpf = corpus_rows.shape
+    assert wpf == wf + halo, (wpf, wf, halo)
+    assert halo >= m_max - 1, (halo, m_max)
+    assert r_rows % fold == 0 and r_rows > 0, (r_rows, fold)
+    assert len(plens) == p
+    nblk = r_rows // fold
+    bw = 2 * k + 1
+
+    pchar = pat.astype(jnp.int32)
+    meta = jnp.stack(
+        [bound.astype(jnp.int32).reshape(()), start.astype(jnp.int32).reshape(())]
+    ).reshape(1, 2)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # meta
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # pattern chars
+            pl.BlockSpec((fold, wpf), lambda i: (i, 0)),  # corpus rows
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (p * fold, 1), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (p * fold, wf), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ),
+    )
+
+    counts, mask = pl.pallas_call(
+        functools.partial(
+            _scan_kernel_unrolled,
+            k=k,
+            m_max=m_max,
+            wf=wf,
+            plens=plens,
+            fold=fold,
+            dtype=dtype,
+        ),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((p * fold, 1), jnp.int32),
+            jax.ShapeDtypeStruct((nblk * p * fold, wf), jnp.int32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=nblk * m_max * bw * p * fold * wf * 5,
+            bytes_accessed=r_rows * wpf + nblk * p * fold * wf * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(meta, pchar, corpus_rows)
+    # (nblk, P, fold, wf) -> (R, P, wf); int8 shrinks the host fetch 4x.
+    mask = jnp.transpose(
+        mask.reshape(nblk, p, fold, wf), (0, 2, 1, 3)
+    ).reshape(r_rows, p, wf).astype(jnp.int8)
+    return jnp.sum(counts.reshape(p, fold), axis=1), mask
 
 
 @functools.partial(

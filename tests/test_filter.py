@@ -246,6 +246,44 @@ def test_find_limit_and_tail():
     assert list(lim) == list(full[:2])
 
 
+def test_find_dense_matches_device_path():
+    """find() on a corpus where nearly EVERY window matches: the device
+    mask path (gather batches + verdict mask) must return all positions
+    exactly — this used to be a host-oracle re-scan of every hot row."""
+    from apm.models.scanner import Scanner
+
+    corpus = np.full(6000, ord("A"), dtype=np.uint8)
+    pat = np.full(50, ord("A"), dtype=np.uint8)
+    pat[-1] = ord("C")  # k=1 still matches every all-A window
+    cfg = ApmConfig(backend="pallas", interpret=True, block_windows=1024)
+    sc = Scanner([pat], 1, cfg)
+    got = sc.find(corpus)[0]
+    want = np_positions(corpus, pat, 1)
+    assert len(want) > 5000 and list(got) == want
+
+
+def test_find_multichunk_multibatch():
+    """Positions across multiple staged chunks and gather batches, with a
+    second (short, oracle-swept) pattern in the same scan."""
+    from apm.models.scanner import Scanner
+
+    rng = np.random.default_rng(77)
+    corpus = random_dna(40000, seed=78).copy()
+    pat = random_dna(50, seed=79)
+    plants = list(range(100, 39000, 977))
+    plant_fuzzy(corpus, pat, 2, plants, rng)
+    short_pat = random_dna(6, seed=80)
+    cfg = ApmConfig(
+        backend="pallas", interpret=True, block_windows=1024,
+        chunk_bytes=8192,  # forces several chunks
+    )
+    sc = Scanner([pat, short_pat], 2, cfg)
+    got = sc.find(corpus)
+    assert list(got[0]) == np_positions(corpus, pat, 2)
+    assert list(got[1]) == np_positions(corpus, short_pat, 2)
+    assert len(got[0]) >= len(plants)
+
+
 @pytest.mark.parametrize("k", [5, 6, 8])
 def test_high_k_filtration_vs_oracle(k):
     """Exact-piece filtration extended to k in [5, 8] for long patterns
