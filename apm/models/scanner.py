@@ -598,15 +598,17 @@ class Scanner:
         (untruncated and EOF-truncated windows alike, same semantics as
         :meth:`count`). ``limit`` caps positions per pattern.
 
-        Implementation: filtration-eligible patterns resolve positions ON
-        DEVICE in one fused call per chunk (``find_positions_chunk``:
-        phase-1 filtration, hot-row compaction, verdict-mask
-        re-verification) — the host fetches one small meta vector plus a
-        bit-packed verdict mask, so dense-match sweeps stay at device
-        speed and zero-candidate chunks cost a single fetch. Only the (at
-        most one per chunk) window-bound-clipped row and the EOF tail
-        fall back to the host oracle; other patterns fall back to an
-        oracle sweep (fine for the small/rare-k cases they represent).
+        Implementation: every pattern resolves positions ON DEVICE, one
+        fused call per chunk per path — filtration-eligible patterns via
+        ``find_positions_chunk`` (phase-1 filtration, hot-row compaction,
+        verdict-mask re-verification), ineligible patterns (short, or
+        high k) via ``sweep_positions_chunk`` (dense banded verdict-mask
+        sweep feeding the same compaction tail). The host fetches one
+        small meta vector plus a bit-packed verdict mask per path, so
+        dense-match sweeps stay at device speed and zero-candidate chunks
+        cost a single fetch. Only the (at most one per chunk)
+        window-bound-clipped row and the EOF tail fall back to the host
+        oracle; the XLA backend keeps the full oracle sweep.
         """
         from ..ops.filter_kernel import (
             FOLD as FILTER_FOLD,
@@ -617,6 +619,7 @@ class Scanner:
             MAX_CLIP,
             find_positions_chunk,
             gather_mask_rows,
+            sweep_positions_chunk,
             unpack_mask_bits,
         )
         from ..ops.pallas_kernel import _DTYPE_FOLD
@@ -632,14 +635,15 @@ class Scanner:
             fold = _DTYPE_FOLD[self.config.dp_dtype]
             backend = self._resolve_backend()
             use_kernel = backend == "pallas" and fold == FILTER_FOLD
-            fmask, plens_filter, _ = partition_plens(
+            fmask, plens_filter, plens_dp = partition_plens(
                 self._plens_static, k, "filter" if use_kernel else "dp"
             )
             dev_bound = self.device_window_bound(n)
             dev_positions = {pi: [] for pi in range(p_all)}  # np arrays
-            clip_ranges = []  # bound-clipped hot rows -> host oracle
+            # bound-clipped hot rows -> host oracle, per device path
+            clip_ranges = {"filter": [], "dense": []}
             wf = None
-            if use_kernel and any(plens_filter) and dev_bound > 0:
+            if use_kernel and dev_bound > 0:
                 w = round_up(
                     self.block_windows_for(n), max(fold, FILTER_FOLD) * 128
                 )
@@ -655,9 +659,8 @@ class Scanner:
                     if self.config.cache_corpus
                     else None
                 )
-                kw = dict(
-                    k=k, m_max=self.m_max, wf=wf, halo=halo,
-                    plens=plens_filter, p_real=p_all,
+                kw_common = dict(
+                    k=k, m_max=self.m_max, wf=wf, halo=halo, p_real=p_all,
                     dp_dtype=self.config.dp_dtype,
                     interpret=self.config.interpret,
                 )
@@ -665,10 +668,24 @@ class Scanner:
                 dpat = jax.numpy.asarray(self._pat)
                 dbound = jax.numpy.asarray(dev_bound, dtype=np.int32)
 
-                def collect(bits_np, rows_np, c0):
+                # Two device paths share one contract: filtration-eligible
+                # patterns go through phase-1 + compaction
+                # (find_positions_chunk); the rest — short patterns, high
+                # k — through the dense verdict-mask sweep
+                # (sweep_positions_chunk). Both resolve positions on
+                # device; only clipped rows and the EOF tail remain host
+                # work.
+                paths = []
+                if any(plens_filter):
+                    paths.append(("filter", plens_filter, fmask))
+                if any(plens_dp):
+                    dmask = tuple(m > 0 for m in plens_dp)
+                    paths.append(("dense", plens_dp, dmask))
+
+                def collect(bits_np, rows_np, c0, sel):
                     """Append positions from a fetched bit-packed mask."""
                     for pi in range(p_all):
-                        if not fmask[pi]:
+                        if not sel[pi]:
                             continue
                         m01 = unpack_mask_bits(bits_np, pi, len(rows_np))
                         hh, ll = np.nonzero(m01[:, :wf])
@@ -677,42 +694,41 @@ class Scanner:
                                 c0 + rows_np[hh].astype(np.int64) * wf + ll
                             )
 
-                for c0 in range(0, dev_bound, chunk_win):
-                    drows = self._staged_rows(buf, fp, c0, n_rows, wf, halo)
-                    meta, bits, rowmap = find_positions_chunk(
-                        drows, dpat_raw, dpat, dbound,
-                        jax.numpy.asarray(c0, dtype=np.int32), **kw
-                    )
+                def finish_path(name, plens, sel, drows, c0, meta, bits,
+                                rowmap):
+                    kw = dict(kw_common, plens=plens)
                     mv = np.asarray(meta)
-                    fcnt = mv[: len(plens_filter)]
-                    n_hot = int(mv[len(plens_filter)])
-                    idx = mv[
-                        len(plens_filter) + 1 : len(plens_filter) + 1 + FIND_BATCH
-                    ]
-                    clip_starts = mv[len(plens_filter) + 1 + FIND_BATCH :]
+                    fcnt = mv[: len(plens)]
+                    n_hot = int(mv[len(plens)])
+                    idx = mv[len(plens) + 1 : len(plens) + 1 + FIND_BATCH]
+                    clip_starts = mv[len(plens) + 1 + FIND_BATCH :]
                     assert len(clip_starts) == MAX_CLIP
-                    clip_ranges.extend(
+                    clip_ranges[name].extend(
                         (int(cs), min(int(cs) + wf, dev_bound))
                         for cs in clip_starts
                         if cs >= 0
                     )
                     if int(fcnt.sum()) == 0:
-                        continue
+                        return
                     n_first = min(n_hot, FIND_BATCH)
                     if n_first > 0:
-                        collect(np.asarray(bits), idx[:n_first], c0)
+                        collect(np.asarray(bits), idx[:n_first], c0, sel)
                     if n_hot > FIND_BATCH:
-                        # Overflow: remaining hot rows via explicit batches.
+                        # Overflow: remaining hot rows via explicit batches,
+                        # all dispatched before the first fetch (each fetch
+                        # is a full link round trip).
                         rm = np.asarray(rowmap)
                         hot = np.nonzero(np.sum(rm, axis=1) > 0)[0]
                         full = c0 + (hot + 1) * wf <= dev_bound
                         hot = hot[full][FIND_BATCH:]
                         r_rows = drows.shape[0]
+                        batches, handles = [], []
                         for b0 in range(0, len(hot), FIND_BATCH):
                             batch = hot[b0 : b0 + FIND_BATCH]
                             bidx = np.full(FIND_BATCH, r_rows, dtype=np.int32)
                             bidx[: len(batch)] = batch
-                            bbits = np.asarray(
+                            batches.append(batch)
+                            handles.append(
                                 gather_mask_rows(
                                     drows, jax.numpy.asarray(bidx), dpat,
                                     jax.numpy.asarray(
@@ -721,17 +737,49 @@ class Scanner:
                                     **kw,
                                 )
                             )
-                            collect(bbits, batch, c0)
+                        for batch, h in zip(batches, handles):
+                            collect(np.asarray(h), batch, c0, sel)
+
+                # Dispatch chunks ahead of the fetches (async): the metas
+                # and first-batch bits travel while the device is still
+                # scanning later chunks. The window bounds how many chunks'
+                # staging rows stay referenced at once.
+                ahead = 4 * max(1, len(paths))
+                pending = []
+                for c0 in range(0, dev_bound, chunk_win):
+                    drows = self._staged_rows(buf, fp, c0, n_rows, wf, halo)
+                    dc0 = jax.numpy.asarray(c0, dtype=np.int32)
+                    for name, plens, sel in paths:
+                        kw = dict(kw_common, plens=plens)
+                        if name == "filter":
+                            meta, bits, rowmap = find_positions_chunk(
+                                drows, dpat_raw, dpat, dbound, dc0, **kw
+                            )
+                        else:
+                            meta, bits, rowmap = sweep_positions_chunk(
+                                drows, dpat, dbound, dc0, **kw
+                            )
+                        pending.append(
+                            (name, plens, sel, drows, c0, meta, bits, rowmap)
+                        )
+                    while len(pending) > ahead:
+                        finish_path(*pending.pop(0))
+                for entry in pending:
+                    finish_path(*entry)
             for pi, raw in enumerate(self.scan_patterns.raw):
                 pat = np.frombuffer(raw, np.uint8)
-                if use_kernel and fmask[pi]:
+                if use_kernel and dev_bound > 0:
                     # device mask positions + clipped rows + the EOF tail
-                    ranges = list(clip_ranges)
+                    ranges = list(
+                        clip_ranges["filter" if fmask[pi] else "dense"]
+                    )
                     if dev_bound < nw:
                         ranges.append((dev_bound, nw))
+                elif use_kernel:
+                    ranges = [(0, nw)]  # corpus shorter than one window row
                 else:
-                    ranges = [(0, nw)]  # full oracle sweep
-                found = list(dev_positions[pi]) if fmask[pi] else []
+                    ranges = [(0, nw)]  # full oracle sweep (XLA backend)
+                found = list(dev_positions[pi])
                 m = len(pat)
                 for j0, j1 in ranges:
                     if j0 >= j1:

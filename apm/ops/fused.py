@@ -319,14 +319,29 @@ def find_positions_chunk(
     fetched only when ``n_hot > n_batch`` (overflow → further
     :func:`gather_mask_rows` batches over the remaining hot rows).
     """
-    from .pallas_kernel import scan_folded_pallas_mask
-
     assert n_batch % FOLD == 0 and n_batch > 0
     fcnt, rowmap = scan_filter_pallas(
         corpus_rows, pat_raw, bound, start,
         k=k, m_max=m_max, wf=wf, halo=halo, plens=plens,
         interpret=interpret,
     )
+    return _positions_tail(
+        corpus_rows, fcnt, rowmap, pat, bound, start,
+        k=k, m_max=m_max, wf=wf, halo=halo, plens=plens, p_real=p_real,
+        n_batch=n_batch, dp_dtype=dp_dtype, interpret=interpret,
+    )
+
+
+def _positions_tail(
+    corpus_rows, fcnt, rowmap, pat, bound, start, *, k, m_max, wf, halo,
+    plens, p_real, n_batch, dp_dtype, interpret,
+):
+    """Shared position-extraction tail: compact hot rows out of the
+    device-resident staging, re-run the verdict-mask banded kernel over
+    them, and pack the host-facing ``(meta, bits, rowmap)`` triple (see
+    :func:`find_positions_chunk` for the layout)."""
+    from .pallas_kernel import scan_folded_pallas_mask
+
     r_rows = corpus_rows.shape[0]
     hot = jnp.sum(rowmap, axis=1) > 0  # (R,)
     row_start = (
@@ -357,6 +372,83 @@ def find_positions_chunk(
         [fcnt.astype(jnp.int32), n_hot.reshape(1), idx, clip_starts]
     )
     return meta, _pack_mask_bits(mask, p_real), rowmap
+
+
+# Rows per verdict-mask kernel call inside the dense sweep's lax.map: the
+# (G, P, wf) int8 mask transient is the peak HBM cost (G=512, P=8,
+# wf=8192 -> 32 MB), so groups keep it flat regardless of chunk size.
+SWEEP_GROUP = 512
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "m_max", "wf", "halo", "plens", "p_real", "n_batch",
+        "dp_dtype", "interpret",
+    ),
+)
+def sweep_positions_chunk(
+    corpus_rows: jax.Array,  # (R, wf + halo) uint8 — folded corpus rows
+    pat: jax.Array,  # (P, m_max + 2k) uint8 — k-padded pattern table
+    bound: jax.Array,  # () int32 — global window bound (exclusive)
+    start: jax.Array,  # () int32 — global window index of row 0
+    *,
+    k: int,
+    m_max: int,
+    wf: int,
+    halo: int,
+    plens: tuple,  # static lengths; 0 = pattern not swept here
+    p_real: int,
+    n_batch: int = FIND_BATCH,
+    dp_dtype: str = "int32",
+    interpret: bool = False,
+):
+    """:func:`find_positions_chunk` for filtration-INELIGIBLE patterns.
+
+    Short patterns and high-k sets have no selective pigeonhole pieces, so
+    there is no phase 1 — instead the banded verdict-mask kernel sweeps
+    every staged row (``lax.map`` over :data:`SWEEP_GROUP`-row groups keeps
+    the int8 mask transient bounded), reducing each group's mask to per-row
+    hit counts. That synthesized row map then feeds the exact same
+    compaction / re-verification / bit-packing tail as the filtration
+    path, so the host-facing contract — one small ``meta`` fetch, packed
+    verdicts for the first ``n_batch`` hot rows, ``rowmap`` left on device
+    for overflow — is identical. Replaces the round-2 host-oracle corpus
+    sweep (``banded_distances`` over every window) these patterns used.
+    """
+    from .pallas_kernel import _DTYPE_FOLD, scan_folded_pallas_mask
+
+    assert n_batch % FOLD == 0 and n_batch > 0
+    r_rows = corpus_rows.shape[0]
+    fold = _DTYPE_FOLD[dp_dtype]
+    # Largest group <= SWEEP_GROUP that tiles the chunk exactly (a
+    # fold-multiple always divides: the caller stages fold-multiple rows).
+    g = next(
+        d
+        for d in range(min(SWEEP_GROUP, r_rows), 0, -1)
+        if r_rows % d == 0 and d % fold == 0
+    )
+    n_groups = r_rows // g
+
+    def one_group(g0):
+        stage = jax.lax.dynamic_slice_in_dim(corpus_rows, g0 * g, g, axis=0)
+        _, mask = scan_folded_pallas_mask(
+            stage, pat,
+            bound - start - g0 * (g * wf),  # group-local window bound
+            jnp.int32(0),
+            k=k, m_max=m_max, wf=wf, halo=halo, plens=plens,
+            dp_dtype=dp_dtype, interpret=interpret,
+        )
+        return jnp.sum(mask.astype(jnp.int32), axis=2)  # (g, P)
+
+    grp = jax.lax.map(one_group, jnp.arange(n_groups, dtype=jnp.int32))
+    rowmap = grp.reshape(r_rows, -1)
+    fcnt = jnp.sum(rowmap, axis=0)
+    return _positions_tail(
+        corpus_rows, fcnt, rowmap, pat, bound, start,
+        k=k, m_max=m_max, wf=wf, halo=halo, plens=plens, p_real=p_real,
+        n_batch=n_batch, dp_dtype=dp_dtype, interpret=interpret,
+    )
 
 
 def unpack_chunk(packed, p: int):

@@ -284,6 +284,69 @@ def test_find_multichunk_multibatch():
     assert len(got[0]) >= len(plants)
 
 
+def test_find_dense_sweep_ineligible_overflow():
+    """ALL-ineligible pattern set (short, k=2) on a corpus where every
+    window matches: the dense verdict-mask sweep (sweep_positions_chunk)
+    must resolve every position on device, including overflow past
+    FIND_BATCH hot rows and multiple chunks."""
+    from apm.models.scanner import Scanner
+
+    corpus = np.full(30000, ord("A"), dtype=np.uint8)
+    pat = np.full(8, ord("A"), dtype=np.uint8)
+    pat[3] = ord("C")  # k=2 still matches every all-A window
+    cfg = ApmConfig(
+        backend="pallas", interpret=True, block_windows=1024,
+        chunk_bytes=8192,
+    )
+    sc = Scanner([pat], 2, cfg)
+    got = sc.find(corpus)[0]
+    want = np_positions(corpus, pat, 2)
+    assert len(want) > 25000 and list(got) == want
+
+
+@pytest.mark.parametrize("k", [5, 7])
+def test_find_dense_sweep_high_k(k):
+    """High-k short patterns (filtration-ineligible at any tier) through
+    the dense device sweep, sparse matches + EOF tail."""
+    from apm.models.scanner import Scanner
+
+    rng = np.random.default_rng(31 * k)
+    corpus = random_dna(12000, seed=500 + k).copy()
+    pat = random_dna(18, seed=501 + k)
+    plant_fuzzy(corpus, pat, k, [77, 5003, 11900], rng)
+    cfg = ApmConfig(
+        backend="pallas", interpret=True, block_windows=1024,
+        chunk_bytes=4096,
+    )
+    sc = Scanner([pat], k, cfg)
+    got = sc.find(corpus)[0]
+    assert list(got) == np_positions(corpus, pat, k)
+    assert len(got) == sc.count(corpus)[0]
+
+
+def test_find_mixed_eligibility_same_scan():
+    """One scan mixing an eligible 50-char pattern (filtration path), an
+    ineligible 6-char pattern (dense sweep), and a duplicate — positions
+    for each must match the oracle and agree with count()."""
+    from apm.models.scanner import Scanner
+
+    rng = np.random.default_rng(99)
+    corpus = random_dna(20000, seed=600).copy()
+    long_pat = random_dna(50, seed=601)
+    short_pat = random_dna(6, seed=602)
+    plant_fuzzy(corpus, long_pat, 2, [1000, 9000, 17000], rng)
+    cfg = ApmConfig(
+        backend="pallas", interpret=True, block_windows=1024,
+        chunk_bytes=8192,
+    )
+    sc = Scanner([short_pat, long_pat, short_pat], 2, cfg)
+    got = sc.find(corpus)
+    counts = sc.count(corpus)
+    for pi, pat in enumerate([short_pat, long_pat, short_pat]):
+        assert list(got[pi]) == np_positions(corpus, pat, 2), pi
+        assert len(got[pi]) == counts[pi]
+
+
 @pytest.mark.parametrize("k", [5, 6, 8])
 def test_high_k_filtration_vs_oracle(k):
     """Exact-piece filtration extended to k in [5, 8] for long patterns
