@@ -823,6 +823,65 @@ class Scanner:
         buf = np.memmap(os.fspath(path), dtype=np.uint8, mode="r")
         return self.count(buf)
 
+    def count_stream(
+        self,
+        chunks,
+        *,
+        segment_bytes: Optional[int] = None,
+    ) -> np.ndarray:
+        """Scan a corpus delivered incrementally, without materializing it.
+
+        ``chunks`` is any iterable of byte chunks (a socket reader, a pipe,
+        a generator over an object store…). Counts are identical to
+        ``count(b"".join(chunks))`` — including the reference's
+        EOF-truncation quirk, which is only applied at the true end of the
+        stream — while peak memory stays at one segment
+        (``segment_bytes``, default ``config.chunk_bytes``) plus the
+        ``m_max - 1 + k`` carry bytes that windows straddling a segment
+        boundary need.
+
+        Exactness without a range-scan kernel: for a working buffer ``B``
+        the mid-stream segment owns windows ``[0, hi)`` with
+        ``hi = device_window_bound(len(B))`` (every such window is
+        untruncated and provably below the final ``n - k`` bound), and
+
+            counts[0, hi) == count(B) - count(B[hi:])
+
+        because ``count`` applies the same EOF-truncation semantics to the
+        identical trailing windows of both calls — the wrong-mid-stream
+        tail counts cancel bit-exactly. The suffix re-scan costs one
+        ``m_max - 1 + k``-byte host pass per segment, noise next to the
+        segment scan. The reference slurps the whole file up front
+        (``src/utils.c:12-68``) and has no streaming story.
+        """
+        p = self.patterns.num_patterns
+        total = np.zeros((p,), dtype=np.int64)
+        seg = int(segment_bytes or self.config.chunk_bytes)
+        seg = max(seg, 4 * max(self.m_max + self.k, 1))
+        parts, pending = [], 0  # buffered chunks (one concat per segment)
+        for chunk in chunks:
+            b = as_u8(chunk)
+            if len(b) == 0:
+                continue
+            parts.append(b)
+            pending += len(b)
+            while pending >= seg:
+                carry = (
+                    np.concatenate(parts) if len(parts) > 1 else parts[0]
+                )
+                hi = self.device_window_bound(len(carry))
+                if hi <= 0:
+                    parts, pending = [carry], len(carry)
+                    break
+                total += self.count(carry)
+                total -= self.count(carry[hi:])
+                parts, pending = [carry[hi:]], len(carry) - hi
+        if pending:
+            total += self.count(
+                np.concatenate(parts) if len(parts) > 1 else parts[0]
+            )
+        return total
+
     def count_batch(self, corpora: Sequence[Bytes]) -> np.ndarray:
         """Scan MANY corpora in one device dispatch: (B, P) counts.
 

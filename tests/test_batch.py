@@ -53,3 +53,63 @@ def test_count_batch_xla_backend_fallback():
     got = sc.count_batch(corpora)
     for b, corpus in enumerate(corpora):
         assert got[b].tolist() == count_matches(corpus, pats, 1)
+
+
+# -- count_stream -----------------------------------------------------------
+
+
+def _split_stream(buf, sizes, rng):
+    """Yield buf in chunks of pseudo-random sizes (covers empty chunks)."""
+    i = 0
+    while i < len(buf):
+        s = int(sizes[int(rng.integers(0, len(sizes)))])
+        yield bytes(buf[i : i + s])
+        i += s
+        if int(rng.integers(0, 4)) == 0:
+            yield b""  # empty chunks must be harmless
+
+
+@pytest.mark.parametrize("k", [0, 1, 2])
+def test_count_stream_matches_count(k):
+    """count_stream == count(concatenation) across chunkings, incl. match
+    windows straddling every segment boundary."""
+    rng = np.random.default_rng(40 + k)
+    corpus = random_dna(9000, seed=70 + k).copy()
+    pat = random_dna(50, seed=71)
+    short = random_dna(7, seed=72)
+    # plant matches straddling the segment boundaries the stream will cut
+    for pos in [480, 990, 1490, 2990, 5990, 8940]:
+        corpus[pos : pos + 50] = pat
+    cfg = ApmConfig(
+        backend="pallas", interpret=True, strategy="single",
+        block_windows=1024,
+    )
+    sc = Scanner([pat, short, pat], k, cfg)
+    want = sc.count(corpus)
+    got = sc.count_stream(
+        _split_stream(corpus, [1, 37, 256, 1000], rng),
+        segment_bytes=500,
+    )
+    assert got.tolist() == want.tolist()
+    assert want.tolist() == count_matches(corpus, [pat, short, pat], k)
+
+
+def test_count_stream_xla_backend():
+    rng = np.random.default_rng(5)
+    corpus = random_dna(4000, seed=80)
+    pats = [random_dna(33, seed=81), random_dna(12, seed=82)]
+    cfg = ApmConfig(backend="xla", strategy="single", block_windows=1024)
+    sc = Scanner(pats, 1, cfg)
+    got = sc.count_stream(_split_stream(corpus, [513, 64], rng),
+                          segment_bytes=700)
+    assert got.tolist() == count_matches(corpus, pats, 1)
+
+
+def test_count_stream_tiny_and_empty():
+    cfg = ApmConfig(backend="xla", strategy="single", block_windows=1024)
+    sc = Scanner([b"ACG"], 1, cfg)
+    assert sc.count_stream(iter([])).tolist() == [0]
+    assert sc.count_stream(iter([b""])).tolist() == [0]
+    # stream shorter than one pattern: pure EOF-truncation territory
+    got = sc.count_stream(iter([b"AC"]))
+    assert got.tolist() == count_matches(b"AC", [b"ACG"], 1)
