@@ -461,7 +461,14 @@ class Scanner:
             return self._shard_scanners
         from dataclasses import replace
 
-        cfg = replace(self.config, strategy="single", dedup_patterns=False)
+        # prewarm_bytes must not propagate: each sub-scanner would spawn a
+        # background warmup thread compiling + dispatching mid-scan.
+        cfg = replace(
+            self.config,
+            strategy="single",
+            dedup_patterns=False,
+            prewarm_bytes=None,
+        )
         subs = [
             Scanner([self.scan_patterns.raw[i] for i in g], self.k, cfg)
             for g in groups
@@ -858,6 +865,22 @@ class Scanner:
         total = np.zeros((p,), dtype=np.int64)
         seg = int(segment_bytes or self.config.chunk_bytes)
         seg = max(seg, 4 * max(self.m_max + self.k, 1))
+        # Segments are never re-scanned, so route them through a sibling
+        # scanner with the device-corpus cache off — otherwise every
+        # segment's staged rows would churn the byte-bounded LRU and evict
+        # hot resident corpora served by concurrent count() calls. The
+        # sibling shares the compiled kernels (jit caches by shape), so
+        # this costs nothing.
+        sib = getattr(self, "_stream_scanner", None)
+        if sib is None and self.config.cache_corpus:
+            from dataclasses import replace
+
+            sib = self._stream_scanner = Scanner(
+                list(self.patterns.raw),
+                self.k,
+                replace(self.config, cache_corpus=False, prewarm_bytes=None),
+            )
+        count = sib.count if sib is not None else self.count
         parts, pending = [], 0  # buffered chunks (one concat per segment)
         for chunk in chunks:
             b = as_u8(chunk)
@@ -873,11 +896,11 @@ class Scanner:
                 if hi <= 0:
                     parts, pending = [carry], len(carry)
                     break
-                total += self.count(carry)
-                total -= self.count(carry[hi:])
+                total += count(carry)
+                total -= count(carry[hi:])
                 parts, pending = [carry[hi:]], len(carry) - hi
         if pending:
-            total += self.count(
+            total += count(
                 np.concatenate(parts) if len(parts) > 1 else parts[0]
             )
         return total
@@ -955,7 +978,9 @@ class Scanner:
                     self.config.chunk_bytes // rows_bytes,
                 ),
             )
-            gmax = 1 << (gmax - 1).bit_length()  # pow2 bucket
+            # pow2 bucket, rounded DOWN so the user's batch_blocks cap and
+            # the chunk_bytes staging bound are never exceeded.
+            gmax = max(8, 1 << (gmax.bit_length() - 1))
             dpat = jax.numpy.asarray(self._pat)
             handles = []  # (group items, device counts handle)
             for g0 in range(0, len(items), gmax):

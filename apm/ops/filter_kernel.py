@@ -155,7 +155,7 @@ def partition_plens(plens: tuple, k: int, engine: str):
 
 def _filter_kernel(
     meta_ref,  # SMEM (1, 2) int32 — [window bound (global), global start]
-    pchar_ref,  # SMEM (P, m_max + 2*pad) int32 — pattern chars, 256-padded
+    pchar_ref,  # SMEM (P, m_max + 3*pad) int32 — pattern chars, 256-padded
     corpus_ref,  # VMEM (FOLD, wf + halo) uint8
     out_ref,  # VMEM (P * FOLD, 1) int32 — accumulated candidate counts
     rowmap_ref,  # VMEM (FOLD, P) int32 — this block's per-row counts
@@ -164,7 +164,7 @@ def _filter_kernel(
     m_max: int,
     wf: int,
     plens: tuple,
-    pad: int,  # pchar front/back sentinel columns (= max piece kp)
+    pad: int,  # front sentinel columns = max piece kp; back gets 2*pad
 ):
     i = pl.program_id(0)
     p = len(plens)
@@ -383,7 +383,12 @@ def scan_filter_pallas(
     if pad:
         # Sentinel-padded char table: out-of-piece compares hit 256, which
         # no widened text byte equals (those cells are dominated anyway).
-        pchar = jnp.full((p, m_max + 2 * pad), 256, jnp.int32)
+        # Front needs ``pad`` columns (idx = x-1+d+pad >= o-kp+pad >= 0);
+        # the back needs ``2*pad``: the final capture step of the LAST
+        # piece reads idx up to m-1+2kp+pad, one past a pad-wide back
+        # sentinel when m = m_max (the read lane is dominated, but it must
+        # still be in bounds).
+        pchar = jnp.full((p, m_max + 3 * pad), 256, jnp.int32)
         pchar = jax.lax.dynamic_update_slice(
             pchar, pat.astype(jnp.int32), (0, pad)
         )

