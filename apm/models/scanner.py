@@ -125,27 +125,37 @@ class Scanner:
         return a
 
     def _corr_kernel(self):
-        """One-hot conv kernel + (P,) thresholds for the corr engine
-        (cached)."""
+        """Shift-folded one-hot conv kernel for the corr engine (cached):
+        ``(kern, thr, stride)`` — pass ``stride`` to ``scan_corr_mxu``."""
         kk = getattr(self, "_corr_kern", None)
         if kk is None:
-            from ..ops.corr_engine import build_kernel
+            from ..ops.corr_engine import build_kernel, pick_stride
 
-            kk = self._corr_kern = build_kernel(
-                self._pat_raw, self._plens_static, self._corr_alphabet()
+            stride = pick_stride(self._pat_raw.shape[0])
+            kern, thr = build_kernel(
+                self._pat_raw, self._plens_static, self._corr_alphabet(),
+                stride=stride,
             )
+            kk = self._corr_kern = (kern, thr, stride)
         return kk
 
     def _fp1_kernel(self, plens_filter: tuple):
-        """Piece-correlation tables for conv phase 1 (cached per split)."""
+        """Piece-correlation tables for conv phase 1 (cached per split):
+        ``(kern, thr, owner, stride)``."""
         cached = getattr(self, "_fp1_cache", None)
         if cached is not None and cached[0] == plens_filter:
             return cached[1]
-        from ..ops.corr_engine import build_piece_kernel
+        from ..ops.corr_engine import build_piece_kernel, pick_stride
+        from ..ops.filter_kernel import tier_of
 
-        tables = build_piece_kernel(
-            self._pat_raw, plens_filter, self.k, self._corr_alphabet()
+        n_pieces = sum(
+            tier_of(m, self.k)[0] for m in plens_filter if m > 0
         )
+        stride = pick_stride(n_pieces)
+        tables = build_piece_kernel(
+            self._pat_raw, plens_filter, self.k, self._corr_alphabet(),
+            stride=stride,
+        ) + (stride,)
         self._fp1_cache = (plens_filter, tables)
         return tables
 
@@ -325,7 +335,7 @@ class Scanner:
         if plan.use_corr:
             from ..ops.corr_engine import _group_rows, scan_corr_mxu
 
-            kern_np, thr_np = self._corr_kernel()
+            kern_np, thr_np, corr_stride = self._corr_kernel()
             dkern = jax.numpy.asarray(kern_np)
             dthr = jax.numpy.asarray(thr_np)
             dalph = jax.numpy.asarray(self._corr_alphabet())
@@ -336,7 +346,9 @@ class Scanner:
             from ..ops.corr_engine import _group_rows
             from ..ops.fused import filter_verify_chunk_conv
 
-            pk_np, pt_np, ow_np = self._fp1_kernel(plan.plens_filter)
+            pk_np, pt_np, ow_np, fp1_stride = self._fp1_kernel(
+                plan.plens_filter
+            )
             dpkern = jax.numpy.asarray(pk_np)
             dpthr = jax.numpy.asarray(pt_np)
             downer = jax.numpy.asarray(ow_np)
@@ -355,7 +367,7 @@ class Scanner:
                     scan_corr_mxu(
                         drows, dkern, dthr, dalph, dbound, dc0,
                         wf=wf, m_max=self.m_max, n_rows=n_rows,
-                        g_rows=g_rows,
+                        g_rows=g_rows, stride=corr_stride,
                     )
                 )
             if plan.any_dp:
@@ -383,7 +395,7 @@ class Scanner:
                         k=k, m_max=self.m_max, wf=wf, halo=halo,
                         plens=plan.plens_filter,
                         w_kern=dpkern.shape[0], n_rows=n_rows,
-                        g_rows=fp1_g_rows,
+                        g_rows=fp1_g_rows, fp1_stride=fp1_stride,
                         dp_dtype=self.config.dp_dtype,
                         interpret=self.config.interpret,
                     )
@@ -536,7 +548,7 @@ class Scanner:
         if plan.use_corr:
             from ..ops.corr_engine import _group_rows, scan_corr_mxu
 
-            kern_np, thr_np = self._corr_kernel()
+            kern_np, thr_np, corr_stride = self._corr_kernel()
             np.asarray(
                 scan_corr_mxu(
                     rows,
@@ -548,6 +560,7 @@ class Scanner:
                     g_rows=_group_rows(
                         wf + halo, len(self._corr_alphabet()), n_rows
                     ),
+                    stride=corr_stride,
                 )
             )
         if plan.any_dp:
@@ -571,7 +584,9 @@ class Scanner:
                 from ..ops.corr_engine import _group_rows
                 from ..ops.fused import filter_verify_chunk_conv
 
-                pk_np, pt_np, ow_np = self._fp1_kernel(plan.plens_filter)
+                pk_np, pt_np, ow_np, fp1_stride = self._fp1_kernel(
+                    plan.plens_filter
+                )
                 packed, _ = filter_verify_chunk_conv(
                     rows, jax.numpy.asarray(pk_np),
                     jax.numpy.asarray(pt_np), jax.numpy.asarray(ow_np),
@@ -583,6 +598,7 @@ class Scanner:
                     g_rows=_group_rows(
                         wf + halo, len(self._corr_alphabet()), n_rows
                     ),
+                    fp1_stride=fp1_stride,
                     dp_dtype=self.config.dp_dtype,
                     interpret=self.config.interpret,
                 )

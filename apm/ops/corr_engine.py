@@ -118,10 +118,54 @@ def corr_eligible(
     return sum(plens) >= AUTO_MIN_WORK or m_max >= AUTO_MIN_MMAX
 
 
+def pick_stride(n0: int) -> int:
+    """Shift-fold stride ``S`` for a conv with ``n0`` base output channels.
+
+    The MXU's output tile is 128 columns wide; a stride-1 correlation with
+    ``n0`` patterns (or pieces) runs the systolic array at ``n0/128``
+    column utilization. Folding ``S`` *shifted* copies of every pattern
+    into the channel axis and striding the conv by ``S`` computes the
+    identical per-window scores with ``N = n0*S`` columns — ~``S``x the
+    utilization for only ``(m + S - 1)/m``x the FLOPs. Measured on v5e
+    (256 MB, P = 6, m = 50): 2.90 GB/s at S = 1 -> 5.04 GB/s at S = 16
+    (N = 96); N past 128 is flat-to-worse (S = 32/N = 192: 4.75).
+
+    Past ~24 base channels the fold stops paying and then *hurts* — XLA
+    already lowers the wide-N stride-1 conv well, and the strided variant
+    loses to it (same session, 256 MB, m = 50: P = 24: 2.53 -> 3.03 at
+    S = 4; P = 32: 2.38 -> 2.08; P = 48: 2.59 -> 1.81; P = 64:
+    2.36 -> 1.17) — so n0 > 24 keeps stride 1.
+
+    Strides are powers of two capped at 32 and at N <= 128; every block
+    width is a multiple of 128 windows, so divisibility is guaranteed.
+    """
+    if n0 > 24:
+        return 1
+    s = 1
+    while s < 32 and n0 * s * 2 <= 128:
+        s *= 2
+    return s
+
+
+def _fold_shifts(kern: np.ndarray, thr: np.ndarray, stride: int):
+    """Fold ``stride`` shifted copies of a base conv kernel into the
+    channel axis: channel ``s*n0 + c`` scores base channel ``c`` at window
+    offset ``s`` within a stride block (so a strided conv's output block
+    ``jb`` reshapes to windows ``jb*stride + s``)."""
+    if stride == 1:
+        return kern, thr
+    wk, C, n0 = kern.shape
+    ks = np.zeros((wk + stride - 1, C, n0 * stride), dtype=kern.dtype)
+    for s in range(stride):
+        ks[s : s + wk, :, s * n0 : (s + 1) * n0] = kern
+    return ks, np.tile(thr, stride)
+
+
 def build_kernel(
-    pat_raw: np.ndarray, plens, alphabet: np.ndarray
+    pat_raw: np.ndarray, plens, alphabet: np.ndarray, stride: int = 1
 ):
-    """One-hot conv kernel ``(m_max, C, P)`` bf16 + (P,) f32 thresholds.
+    """One-hot conv kernel ``(m_max + stride - 1, C, P*stride)`` bf16 +
+    ``(P*stride,)`` f32 thresholds.
 
     ``pat_raw`` is the (P, m_max) zero-padded raw pattern table. Position
     ``i`` of pattern ``p`` one-hots to its byte's alphabet channel for
@@ -130,7 +174,9 @@ def build_kernel(
     pattern ``p`` is ``m_p`` — ``corr >= m_p`` iff every real position
     matched — and an unreachable sentinel for padding rows so they never
     count (the same "no work for padding rows" contract as the Pallas
-    kernels).
+    kernels). ``stride`` shift-folds the kernel for the strided conv
+    (see :func:`pick_stride`); pass the same value to
+    :func:`scan_corr_mxu`.
     """
     P, m_max = pat_raw.shape
     C = len(alphabet)
@@ -142,6 +188,7 @@ def build_kernel(
         for i in range(min(m, m_max)):
             ci = int(np.searchsorted(alphabet, pat_raw[pi, i]))
             kern[i, ci, pi] = 1.0
+    kern, thr = _fold_shifts(kern, thr, stride)
     return kern.astype(jnp.bfloat16), thr
 
 
@@ -153,12 +200,12 @@ def _group_rows(L: int, C: int, n_rows: int) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("wf", "m_max", "n_rows", "g_rows")
+    jax.jit, static_argnames=("wf", "m_max", "n_rows", "g_rows", "stride")
 )
 def scan_corr_mxu(
     rows: jax.Array,  # (R, wf + halo) uint8 — folded staged corpus rows
-    kern: jax.Array,  # (m_max, C, P) bf16 — one-hot pattern kernel
-    thr: jax.Array,  # (P,) f32 — per-pattern match thresholds (= m_p)
+    kern: jax.Array,  # (m_max + S - 1, C, P*S) bf16 — shift-folded kernel
+    thr: jax.Array,  # (P*S,) f32 — per-channel match thresholds (= m_p)
     alph: jax.Array,  # (C,) uint8 — pattern alphabet
     bound: jax.Array,  # () int32 — global window bound (exclusive)
     start: jax.Array,  # () int32 — global window index of row 0
@@ -167,6 +214,7 @@ def scan_corr_mxu(
     m_max: int,
     n_rows: int,  # rows that carry real windows (R may be group-padded)
     g_rows: int,  # rows per mapped group (static)
+    stride: int = 1,  # shift-fold stride S (see pick_stride)
 ):
     """(P,) int32 exact-match counts for this chunk's device-owned windows.
 
@@ -176,8 +224,17 @@ def scan_corr_mxu(
     (The explicit ``n_rows`` mask matters even though padded rows are
     zero-filled: a binary pattern may legitimately contain NUL bytes and
     would otherwise match the padding.)
+
+    With ``stride = S > 1`` the conv strides by S and the kernel carries S
+    shifted copies of every pattern (:func:`build_kernel` with the same
+    ``stride``): output block ``jb``'s channel ``s*P + p`` is window
+    ``jb*S + s`` of pattern ``p`` — identical scores at ~S x the MXU
+    column utilization. Reads reach ``wf + m_max - 2`` regardless of S,
+    so any ``halo >= m_max - 1`` staging row suffices.
     """
     R, L = rows.shape
+    S = stride
+    assert wf % S == 0, (wf, S)
     G = -(-R // g_rows)
     pad = G * g_rows - R
     if pad:
@@ -193,12 +250,16 @@ def scan_corr_mxu(
         corr = jax.lax.conv_general_dilated(
             t,
             kern,
-            window_strides=(1,),
+            window_strides=(S,),
             padding="VALID",
             dimension_numbers=("NWC", "WIO", "NWC"),
             preferred_element_type=jnp.float32,
-        )  # (g_rows, L - m_max + 1, P)
-        match = corr[:, :wf, :] >= thr[None, None, :]
+        )  # (g_rows, (L - wk)//S + 1, P*S)
+        match = corr[:, : wf // S, :] >= thr[None, None, :]
+        if S > 1:  # block jb, channel s*P+p  ->  window jb*S + s
+            match = match.reshape(g_rows, wf // S, S, -1).reshape(
+                g_rows, wf, -1
+            )
         r_abs = g * g_rows + row_in_g  # (g_rows, 1) global row index
         limit = jnp.where(
             r_abs < n_rows,
@@ -263,13 +324,17 @@ def fp1_conv_eligible(plens, k: int, alphabet_size: int) -> bool:
     return sum(ms) >= AUTO_MIN_WORK or max(ms) >= AUTO_MIN_MMAX
 
 
-def build_piece_kernel(pat_raw: np.ndarray, plens, k: int, alphabet):
+def build_piece_kernel(
+    pat_raw: np.ndarray, plens, k: int, alphabet, stride: int = 1
+):
     """Piece-correlation tables for conv phase 1.
 
-    Returns ``(kern (w_kern, C, N) bf16, thr (N,) f32, owner (N, P) f32)``
-    where N is the total piece count across patterns and ``owner`` is the
-    piece->pattern one-hot used to combine piece hits into per-pattern row
-    maps with one small matmul.
+    Returns ``(kern (w_kern + stride - 1, C, N*stride) bf16,
+    thr (N*stride,) f32, owner (N, P) f32)`` where N is the total piece
+    count across patterns and ``owner`` is the piece->pattern one-hot used
+    to combine piece hits into per-pattern row maps with one small matmul.
+    ``stride`` shift-folds the kernel (see :func:`pick_stride`); pass the
+    same value to :func:`scan_pieces_conv`.
     """
     from .filter_kernel import pieces_of_j, tier_of
 
@@ -295,25 +360,27 @@ def build_piece_kernel(pat_raw: np.ndarray, plens, k: int, alphabet):
         for i in range(length):
             ci = int(np.searchsorted(alphabet, pat_raw[pi, off + i]))
             kern[i, ci, ni] = 1.0
+    kern, thr = _fold_shifts(kern, thr, stride)
     return kern.astype(jnp.bfloat16), thr, owner
 
 
 @functools.partial(
-    jax.jit, static_argnames=("wf", "w_kern", "n_rows", "g_rows")
+    jax.jit, static_argnames=("wf", "w_kern", "n_rows", "g_rows", "stride")
 )
 def scan_pieces_conv(
     rows: jax.Array,  # (R, wf + halo) uint8 — folded staged corpus rows
-    kern: jax.Array,  # (w_kern, C, N) bf16 — one-hot piece kernel
-    thr: jax.Array,  # (N,) f32 — per-piece thresholds (= piece lengths)
+    kern: jax.Array,  # (w_kern, C, N*S) bf16 — one-hot piece kernel
+    thr: jax.Array,  # (N*S,) f32 — per-piece thresholds (= piece lengths)
     owner: jax.Array,  # (N, P) f32 — piece -> pattern one-hot
     alph: jax.Array,  # (C,) uint8 — pattern alphabet
     bound: jax.Array,  # () int32 — global window bound (exclusive)
     start: jax.Array,  # () int32 — global window index of row 0
     *,
     wf: int,
-    w_kern: int,
+    w_kern: int,  # FULL kernel width = base piece width + stride - 1
     n_rows: int,
     g_rows: int,
+    stride: int = 1,  # shift-fold stride S (see pick_stride)
 ):
     """Conv phase 1: ``(fcnt (P,) int32, rowmap (R, P) int32)``.
 
@@ -322,8 +389,18 @@ def scan_pieces_conv(
     which is all the phase-2 decision tree needs). ``rowmap`` flags rows
     with any piece hit; rows owning no valid window (past ``bound`` or
     group padding) are masked so they can never go hot.
+
+    With ``stride = S > 1`` (shift-folded kernel from
+    :func:`build_piece_kernel`): row-level candidacy must see piece hits
+    at EVERY stride-1 position up to ``L - base_wk`` (the halo positions
+    cover drifted pieces of windows owned near the row end), so the text
+    is zero-padded by ``S - 1`` columns, making the strided blocks cover
+    ``[0, B*S)`` ⊇ all base positions. The <= S - 1 overshoot positions
+    read zero padding and can only fire for all-NUL pieces — a
+    conservative (sound) superset; phase 2 verifies exactly.
     """
     R, L = rows.shape
+    S = stride
     G = -(-R // g_rows)
     pad = G * g_rows - R
     if pad:
@@ -333,15 +410,17 @@ def scan_pieces_conv(
 
     def one_group(args):
         rg, g = args
+        if S > 1:
+            rg = jnp.pad(rg, ((0, 0), (0, S - 1)))
         t = (rg[:, :, None] == alph[None, None, :]).astype(jnp.bfloat16)
         corr = jax.lax.conv_general_dilated(
             t,
             kern,
-            window_strides=(1,),
+            window_strides=(S,),
             padding="VALID",
             dimension_numbers=("NWC", "WIO", "NWC"),
             preferred_element_type=jnp.float32,
-        )  # (g_rows, L - w_kern + 1, N)
+        )  # (g_rows, (L + S - 1 - w_kern)//S + 1, N*S)
         hit = corr >= thr[None, None, :]
         r_abs = g * g_rows + row_in_g  # (g_rows, 1)
         live = jnp.logical_and(
@@ -349,7 +428,11 @@ def scan_pieces_conv(
         )  # (g_rows, 1): row owns >= 1 valid window
         hits_n = jnp.sum(
             hit & live[:, :, None], axis=1, dtype=jnp.float32
-        )  # (g_rows, N) piece-hit counts per row
+        )  # (g_rows, N*S) piece-hit counts per row
+        if S > 1:  # fold the shift copies back onto the base pieces
+            hits_n = jnp.sum(
+                hits_n.reshape(g_rows, S, -1), axis=1, dtype=jnp.float32
+            )
         rowpat = hits_n @ owner  # (g_rows, P)
         return rowpat
 

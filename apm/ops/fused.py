@@ -157,7 +157,7 @@ def _verify_phase2(
     jax.jit,
     static_argnames=(
         "k", "m_max", "wf", "halo", "plens", "w_kern", "n_rows", "g_rows",
-        "max_hot", "dp_dtype", "interpret",
+        "fp1_stride", "max_hot", "dp_dtype", "interpret",
     ),
 )
 def filter_verify_chunk_conv(
@@ -178,6 +178,7 @@ def filter_verify_chunk_conv(
     w_kern: int,
     n_rows: int,
     g_rows: int,
+    fp1_stride: int = 1,
     max_hot: int = MAX_HOT,
     dp_dtype: str = "int32",
     interpret: bool = False,
@@ -199,6 +200,7 @@ def filter_verify_chunk_conv(
     fcnt, rowmap = scan_pieces_conv(
         corpus_rows, pkern, pthr, owner, alph, bound, start,
         wf=wf, w_kern=w_kern, n_rows=n_rows, g_rows=g_rows,
+        stride=fp1_stride,
     )
     return _verify_phase2(
         corpus_rows, fcnt, rowmap, pat, bound, start,

@@ -141,7 +141,7 @@ def count_multihost(scanner: "Scanner", path: str) -> np.ndarray:
             from ..ops.corr_engine import _group_rows
             from .strategies import _corr_sharded
 
-            kern_np, thr_np = scanner._corr_kernel()
+            kern_np, thr_np, corr_stride = scanner._corr_kernel()
             dkern = jax.device_put(
                 kern_np, NamedSharding(mesh, P(None, None, None))
             )
@@ -155,6 +155,7 @@ def count_multihost(scanner: "Scanner", path: str) -> np.ndarray:
                 g_rows=_group_rows(
                     wf + halo, len(scanner._corr_alphabet()), rows_per
                 ),
+                stride=corr_stride,
             )
             counts += np.asarray(dev_counts)
         if plan.any_dp:

@@ -81,11 +81,11 @@ def _database_sharded(shards, starts, pat, plen, bound, *, mesh, backend, k, m_m
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mesh", "wf", "m_max", "n_rows", "g_rows"),
+    static_argnames=("mesh", "wf", "m_max", "n_rows", "g_rows", "stride"),
 )
 def _corr_sharded(
     shards, starts, kern, thr, alph, bound, *, mesh, wf, m_max, n_rows,
-    g_rows,
+    g_rows, stride=1,
 ):
     """Sharded k = 0 MXU correlation scan (apm.ops.corr_engine): each
     device convolves its own window shard, one psum joins the counts."""
@@ -95,6 +95,7 @@ def _corr_sharded(
         counts = scan_corr_mxu(
             shard[0], kern, thr, alph, bound, start[0],
             wf=wf, m_max=m_max, n_rows=n_rows, g_rows=g_rows,
+            stride=stride,
         )
         return jax.lax.psum(counts, "data")
 
@@ -184,12 +185,12 @@ def _filter_verify_sharded(
     jax.jit,
     static_argnames=(
         "mesh", "k", "m_max", "w", "halo", "plens", "w_kern", "n_rows",
-        "g_rows", "dp_dtype", "interpret",
+        "g_rows", "fp1_stride", "dp_dtype", "interpret",
     ),
 )
 def _filter_verify_conv_sharded(
     shards, starts, pkern, pthr, owner, alph, pat, bound, *, mesh, k, m_max,
-    w, halo, plens, w_kern, n_rows, g_rows, dp_dtype="int32",
+    w, halo, plens, w_kern, n_rows, g_rows, fp1_stride=1, dp_dtype="int32",
     interpret=False,
 ):
     """:func:`_filter_verify_sharded` with conv phase 1
@@ -201,7 +202,7 @@ def _filter_verify_conv_sharded(
             shard[0], pkern, pthr, owner, alph, pat, bound, start[0],
             k=k, m_max=m_max, wf=w, halo=halo, plens=plens,
             w_kern=w_kern, n_rows=n_rows, g_rows=g_rows,
-            dp_dtype=dp_dtype, interpret=interpret,
+            fp1_stride=fp1_stride, dp_dtype=dp_dtype, interpret=interpret,
         )
         return _collective_pack(packed, pat.shape[0]), rowmap[None]
 
@@ -271,7 +272,9 @@ def sharded_filter_chunks(
     if plan.fp1_conv:
         from ..ops.corr_engine import _group_rows
 
-        pk_np, pt_np, ow_np = scanner._fp1_kernel(plan.plens_filter)
+        pk_np, pt_np, ow_np, fp1_stride = scanner._fp1_kernel(
+            plan.plens_filter
+        )
         packed, rowmaps = _filter_verify_conv_sharded(
             shards, starts,
             jax.device_put(pk_np, NamedSharding(mesh, P(None, None, None))),
@@ -287,6 +290,7 @@ def sharded_filter_chunks(
             g_rows=_group_rows(
                 wf + halo, len(scanner._corr_alphabet()), rows_per
             ),
+            fp1_stride=fp1_stride,
             dp_dtype=scanner.config.dp_dtype,
             interpret=scanner.config.interpret,
         )
@@ -410,7 +414,7 @@ def count_database_over_devices(scanner: "Scanner", buf: np.ndarray, n_dev: int)
             if plan.use_corr:
                 from ..ops.corr_engine import _group_rows
 
-                kern_np, thr_np = scanner._corr_kernel()
+                kern_np, thr_np, corr_stride = scanner._corr_kernel()
                 dkern = jax.device_put(
                     kern_np, NamedSharding(mesh, P(None, None, None))
                 )
@@ -424,6 +428,7 @@ def count_database_over_devices(scanner: "Scanner", buf: np.ndarray, n_dev: int)
                     g_rows=_group_rows(
                         wf + halo, len(scanner._corr_alphabet()), rows_per
                     ),
+                    stride=corr_stride,
                 )
                 counts += np.asarray(dev)
             if plan.any_dp:

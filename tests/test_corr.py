@@ -272,3 +272,91 @@ def test_corr_group_padding_boundary():
             if bytes(corpus[j : j + 3]) == b"ACG"
         )
         assert got.tolist() == [brute], g_rows
+
+
+def test_strided_shift_fold_equivalence():
+    """stride > 1 (shift-folded kernel + strided conv) must produce
+    bit-identical counts to stride = 1 — including at the window bound,
+    on group-pad boundaries, and with mixed pattern lengths."""
+    from apm.ops.corr_engine import (
+        build_alphabet, build_kernel, pick_stride, scan_corr_mxu,
+    )
+    import jax.numpy as jnp
+
+    corpus = random_corpus(40000, seed=21)
+    pats = [b"ACG", b"ACGTACGTAC", bytes(corpus[777:777 + 33])]
+    plens = tuple(len(p) for p in pats)
+    m_max = max(plens)
+    wf, halo = 512, 128
+    bound = len(corpus) - m_max + 1
+    n_rows = -(-bound // wf)
+    rows = np.zeros((n_rows, wf + halo), np.uint8)
+    for r in range(n_rows):
+        seg = corpus[r * wf : r * wf + wf + halo]
+        rows[r, : len(seg)] = seg
+    pat_raw = np.zeros((len(pats), m_max), np.uint8)
+    for i, p in enumerate(pats):
+        pat_raw[i, : len(p)] = np.frombuffer(p, np.uint8)
+    alph = build_alphabet(pats)
+
+    outs = {}
+    for stride in (1, 4, pick_stride(len(pats))):
+        kern, thr = build_kernel(pat_raw, plens, alph, stride=stride)
+        assert kern.shape == (m_max + stride - 1, len(alph), len(pats) * stride)
+        outs[stride] = np.asarray(
+            scan_corr_mxu(
+                jnp.asarray(rows), jnp.asarray(kern), jnp.asarray(thr),
+                jnp.asarray(alph),
+                jnp.asarray(bound, jnp.int32), jnp.asarray(0, jnp.int32),
+                wf=wf, m_max=m_max, n_rows=n_rows, g_rows=7,
+                stride=stride,
+            )
+        )
+    base = outs.pop(1)
+    assert base.sum() > 0  # pattern 3 is planted: counts are non-trivial
+    for stride, got in outs.items():
+        assert got.tolist() == base.tolist(), stride
+
+
+def test_strided_pieces_conv_equivalence():
+    """Strided conv phase 1 must keep fcnt/rowmap identical to stride 1
+    for non-NUL pieces (the padded overshoot may only add NUL-piece
+    hits)."""
+    from apm.ops.corr_engine import build_alphabet, build_piece_kernel, scan_pieces_conv
+    import jax.numpy as jnp
+
+    k = 1
+    corpus = random_corpus(30000, seed=22)
+    pats = [bytes(corpus[5000:5024]), bytes(corpus[17010:17040])]
+    plens = tuple(len(p) for p in pats)
+    m_max = max(plens)
+    wf, halo = 512, 128
+    bound = len(corpus) - m_max + 1
+    n_rows = -(-bound // wf)
+    rows = np.zeros((n_rows, wf + halo), np.uint8)
+    for r in range(n_rows):
+        seg = corpus[r * wf : r * wf + wf + halo]
+        rows[r, : len(seg)] = seg
+    pat_raw = np.zeros((len(pats), m_max), np.uint8)
+    for i, p in enumerate(pats):
+        pat_raw[i, : len(p)] = np.frombuffer(p, np.uint8)
+    alph = build_alphabet(pats)
+
+    outs = {}
+    for stride in (1, 8):
+        kern, thr, owner = build_piece_kernel(
+            pat_raw, plens, k, alph, stride=stride
+        )
+        fcnt, rowmap = scan_pieces_conv(
+            jnp.asarray(rows), jnp.asarray(kern), jnp.asarray(thr),
+            jnp.asarray(owner), jnp.asarray(alph),
+            jnp.asarray(bound, jnp.int32), jnp.asarray(0, jnp.int32),
+            wf=wf, w_kern=kern.shape[0], n_rows=n_rows, g_rows=5,
+            stride=stride,
+        )
+        outs[stride] = (np.asarray(fcnt), np.asarray(rowmap))
+    f1, r1 = outs[1]
+    f8, r8 = outs[8]
+    assert f1.sum() > 0 and r1.any()
+    assert f8.tolist() == f1.tolist()
+    assert np.array_equal(r8, r1)
