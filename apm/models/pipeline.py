@@ -352,6 +352,8 @@ def verify_rows_host(
         jnp.asarray(0, jnp.int32),
         k=scanner.k, m_max=scanner.m_max, wf=wf, halo=halo,
         plens=plan.plens_filter, dp_dtype=scanner.config.dp_dtype,
+        alphabet=scanner._dp_alphabet(),
+        dp_impl=scanner.config.dp_impl,
         interpret=scanner.config.interpret,
     )
     out += np.asarray(dev)

@@ -124,6 +124,13 @@ class Scanner:
             a = self._corr_alph = build_alphabet(self.scan_patterns.raw)
         return a
 
+    def _dp_alphabet(self) -> tuple:
+        """Distinct pattern bytes as a static tuple — keys the bit-parallel
+        (Myers) banded-DP mode (``apm.ops.pallas_kernel._myers_mode``;
+        eligibility — k range, alphabet size, table budget — is decided
+        there, so this just hands the kernel the static alphabet)."""
+        return tuple(int(b) for b in self._corr_alphabet())
+
     def _corr_kernel(self):
         """Shift-folded one-hot conv kernel for the corr engine (cached):
         ``(kern, thr, stride)`` — pass ``stride`` to ``scan_corr_mxu``."""
@@ -376,6 +383,8 @@ class Scanner:
                         drows, dpat, dbound, dc0,
                         k=k, m_max=self.m_max, wf=wf, halo=halo,
                         plens=plan.plens_dp, dp_dtype=self.config.dp_dtype,
+                        alphabet=self._dp_alphabet(),
+                        dp_impl=self.config.dp_impl,
                         interpret=self.config.interpret,
                     )
                 )
@@ -397,6 +406,8 @@ class Scanner:
                         w_kern=dpkern.shape[0], n_rows=n_rows,
                         g_rows=fp1_g_rows, fp1_stride=fp1_stride,
                         dp_dtype=self.config.dp_dtype,
+                        alphabet=self._dp_alphabet(),
+                        dp_impl=self.config.dp_impl,
                         interpret=self.config.interpret,
                     )
                     raw_chunks.append((c0, packed, rowmap))
@@ -406,6 +417,8 @@ class Scanner:
                         k=k, m_max=self.m_max, wf=wf, halo=halo,
                         plens=plan.plens_filter,
                         dp_dtype=self.config.dp_dtype,
+                        alphabet=self._dp_alphabet(),
+                        dp_impl=self.config.dp_impl,
                         interpret=self.config.interpret,
                     )
                     raw_chunks.append((c0, packed, rowmap))
@@ -447,6 +460,8 @@ class Scanner:
                             k=k, m_max=self.m_max, wf=wf, halo=halo,
                             plens=plan.plens_filter,
                             dp_dtype=self.config.dp_dtype,
+                        alphabet=self._dp_alphabet(),
+                        dp_impl=self.config.dp_impl,
                             interpret=self.config.interpret,
                         )
                     )
@@ -569,6 +584,8 @@ class Scanner:
                     rows, jax.numpy.asarray(self._pat), zero32, zero32,
                     k=k, m_max=self.m_max, wf=wf, halo=halo,
                     plens=plan.plens_dp, dp_dtype=self.config.dp_dtype,
+                        alphabet=self._dp_alphabet(),
+                        dp_impl=self.config.dp_impl,
                     interpret=self.config.interpret,
                 )
             )
@@ -600,6 +617,8 @@ class Scanner:
                     ),
                     fp1_stride=fp1_stride,
                     dp_dtype=self.config.dp_dtype,
+                        alphabet=self._dp_alphabet(),
+                        dp_impl=self.config.dp_impl,
                     interpret=self.config.interpret,
                 )
                 np.asarray(packed)
@@ -609,6 +628,8 @@ class Scanner:
                     jax.numpy.asarray(self._pat), zero32, zero32,
                     k=k, m_max=self.m_max, wf=wf, halo=halo,
                     plens=plan.plens_filter, dp_dtype=self.config.dp_dtype,
+                        alphabet=self._dp_alphabet(),
+                        dp_impl=self.config.dp_impl,
                     interpret=self.config.interpret,
                 )
                 np.asarray(packed)
@@ -685,6 +706,8 @@ class Scanner:
                 kw_common = dict(
                     k=k, m_max=self.m_max, wf=wf, halo=halo, p_real=p_all,
                     dp_dtype=self.config.dp_dtype,
+                        alphabet=self._dp_alphabet(),
+                        dp_impl=self.config.dp_impl,
                     interpret=self.config.interpret,
                 )
                 dpat_raw = jax.numpy.asarray(self._pat_raw)
@@ -1014,6 +1037,8 @@ class Scanner:
                     k=k, m_max=self.m_max, wf=wf, halo=halo,
                     plens=self._plens_static,
                     dp_dtype=self.config.dp_dtype,
+                        alphabet=self._dp_alphabet(),
+                        dp_impl=self.config.dp_impl,
                     interpret=self.config.interpret,
                 )
                 handles.append((group, cnts))

@@ -52,7 +52,7 @@ MAX_CLIP = 8
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "k", "m_max", "wf", "halo", "plens", "max_hot", "dp_dtype",
+        "k", "m_max", "wf", "halo", "plens", "max_hot", "dp_dtype", "alphabet", "dp_impl",
         "interpret",
     ),
 )
@@ -70,6 +70,8 @@ def filter_verify_chunk(
     plens: tuple,
     max_hot: int = MAX_HOT,
     dp_dtype: str = "int32",
+    alphabet: tuple = (),  # static distinct pattern bytes (Myers DP key)
+    dp_impl: str = "auto",
     interpret: bool = False,
 ):
     """One-call phase 1 + phase 2 for one staged chunk (k >= 1).
@@ -105,13 +107,14 @@ def filter_verify_chunk(
     return _verify_phase2(
         corpus_rows, fcnt, rowmap, pat, bound, start,
         k=k, m_max=m_max, wf=wf, halo=halo, plens=plens, max_hot=max_hot,
-        dp_dtype=dp_dtype, interpret=interpret,
+        dp_dtype=dp_dtype, alphabet=alphabet, dp_impl=dp_impl,
+        interpret=interpret,
     )
 
 
 def _verify_phase2(
     corpus_rows, fcnt, rowmap, pat, bound, start, *, k, m_max, wf, halo,
-    plens, max_hot, dp_dtype, interpret,
+    plens, max_hot, dp_dtype, alphabet, dp_impl, interpret,
 ):
     """Shared phase 2: gather hot rows from the device-resident staging,
     verify with the banded kernel, pack the host-facing vector (see
@@ -134,7 +137,8 @@ def _verify_phase2(
     vcnt = scan_folded_pallas_unrolled(
         stage, pat, vbound, jnp.int32(0),
         k=k, m_max=m_max, wf=wf, halo=halo, plens=plens,
-        dp_dtype=dp_dtype, interpret=interpret,
+        dp_dtype=dp_dtype, alphabet=alphabet, dp_impl=dp_impl,
+        interpret=interpret,
     )
 
     clip = jnp.logical_and(hot, jnp.logical_not(full))
@@ -157,7 +161,7 @@ def _verify_phase2(
     jax.jit,
     static_argnames=(
         "k", "m_max", "wf", "halo", "plens", "w_kern", "n_rows", "g_rows",
-        "fp1_stride", "max_hot", "dp_dtype", "interpret",
+        "fp1_stride", "max_hot", "dp_dtype", "alphabet", "dp_impl", "interpret",
     ),
 )
 def filter_verify_chunk_conv(
@@ -181,6 +185,8 @@ def filter_verify_chunk_conv(
     fp1_stride: int = 1,
     max_hot: int = MAX_HOT,
     dp_dtype: str = "int32",
+    alphabet: tuple = (),  # static distinct pattern bytes (Myers DP key)
+    dp_impl: str = "auto",
     interpret: bool = False,
 ):
     """:func:`filter_verify_chunk` with conv phase 1 (k >= 1).
@@ -205,7 +211,8 @@ def filter_verify_chunk_conv(
     return _verify_phase2(
         corpus_rows, fcnt, rowmap, pat, bound, start,
         k=k, m_max=m_max, wf=wf, halo=halo, plens=plens, max_hot=max_hot,
-        dp_dtype=dp_dtype, interpret=interpret,
+        dp_dtype=dp_dtype, alphabet=alphabet, dp_impl=dp_impl,
+        interpret=interpret,
     )
 
 
@@ -243,7 +250,7 @@ def unpack_mask_bits(packed: "np.ndarray", pi: int, n_rows: int):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "k", "m_max", "wf", "halo", "plens", "p_real", "dp_dtype",
+        "k", "m_max", "wf", "halo", "plens", "p_real", "dp_dtype", "alphabet", "dp_impl",
         "interpret",
     ),
 )
@@ -260,6 +267,8 @@ def gather_mask_rows(
     plens: tuple,
     p_real: int,  # real pattern rows (table rows beyond are padding)
     dp_dtype: str = "int32",
+    alphabet: tuple = (),  # static distinct pattern bytes (Myers DP key)
+    dp_impl: str = "auto",
     interpret: bool = False,
 ):
     """Gather hot rows out of the device staging and return their
@@ -279,7 +288,8 @@ def gather_mask_rows(
     _, mask = scan_folded_pallas_mask(
         stage, pat, vbound, jnp.int32(0),
         k=k, m_max=m_max, wf=wf, halo=halo, plens=plens,
-        dp_dtype=dp_dtype, interpret=interpret,
+        dp_dtype=dp_dtype, alphabet=alphabet, dp_impl=dp_impl,
+        interpret=interpret,
     )
     return _pack_mask_bits(mask, p_real)
 
@@ -288,7 +298,7 @@ def gather_mask_rows(
     jax.jit,
     static_argnames=(
         "k", "m_max", "wf", "halo", "plens", "p_real", "n_batch",
-        "dp_dtype", "interpret",
+        "dp_dtype", "alphabet", "dp_impl", "interpret",
     ),
 )
 def find_positions_chunk(
@@ -306,6 +316,8 @@ def find_positions_chunk(
     p_real: int,
     n_batch: int = FIND_BATCH,
     dp_dtype: str = "int32",
+    alphabet: tuple = (),  # static distinct pattern bytes (Myers DP key)
+    dp_impl: str = "auto",
     interpret: bool = False,
 ):
     """One-call position extraction for one staged chunk (``Scanner.find``).
@@ -330,13 +342,14 @@ def find_positions_chunk(
     return _positions_tail(
         corpus_rows, fcnt, rowmap, pat, bound, start,
         k=k, m_max=m_max, wf=wf, halo=halo, plens=plens, p_real=p_real,
-        n_batch=n_batch, dp_dtype=dp_dtype, interpret=interpret,
+        n_batch=n_batch, dp_dtype=dp_dtype, alphabet=alphabet, dp_impl=dp_impl,
+        interpret=interpret,
     )
 
 
 def _positions_tail(
     corpus_rows, fcnt, rowmap, pat, bound, start, *, k, m_max, wf, halo,
-    plens, p_real, n_batch, dp_dtype, interpret,
+    plens, p_real, n_batch, dp_dtype, alphabet, dp_impl, interpret,
 ):
     """Shared position-extraction tail: compact hot rows out of the
     device-resident staging, re-run the verdict-mask banded kernel over
@@ -362,7 +375,8 @@ def _positions_tail(
     _, mask = scan_folded_pallas_mask(
         stage, pat, vbound, jnp.int32(0),
         k=k, m_max=m_max, wf=wf, halo=halo, plens=plens,
-        dp_dtype=dp_dtype, interpret=interpret,
+        dp_dtype=dp_dtype, alphabet=alphabet, dp_impl=dp_impl,
+        interpret=interpret,
     )
 
     clip = jnp.logical_and(hot, jnp.logical_not(full))
@@ -388,7 +402,7 @@ SWEEP_MASK_BYTES = 64 << 20
     jax.jit,
     static_argnames=(
         "k", "m_max", "wf", "halo", "plens", "p_real", "n_batch",
-        "dp_dtype", "interpret",
+        "dp_dtype", "alphabet", "dp_impl", "interpret",
     ),
 )
 def sweep_positions_chunk(
@@ -405,6 +419,8 @@ def sweep_positions_chunk(
     p_real: int,
     n_batch: int = FIND_BATCH,
     dp_dtype: str = "int32",
+    alphabet: tuple = (),  # static distinct pattern bytes (Myers DP key)
+    dp_impl: str = "auto",
     interpret: bool = False,
 ):
     """:func:`find_positions_chunk` for filtration-INELIGIBLE patterns.
@@ -444,7 +460,8 @@ def sweep_positions_chunk(
             bound - start - g0 * (g * wf),  # group-local window bound
             jnp.int32(0),
             k=k, m_max=m_max, wf=wf, halo=halo, plens=plens,
-            dp_dtype=dp_dtype, interpret=interpret,
+            dp_dtype=dp_dtype, alphabet=alphabet, dp_impl=dp_impl,
+        interpret=interpret,
         )
         return jnp.sum(mask.astype(jnp.int32), axis=2)  # (g, P)
 
@@ -454,7 +471,8 @@ def sweep_positions_chunk(
     return _positions_tail(
         corpus_rows, fcnt, rowmap, pat, bound, start,
         k=k, m_max=m_max, wf=wf, halo=halo, plens=plens, p_real=p_real,
-        n_batch=n_batch, dp_dtype=dp_dtype, interpret=interpret,
+        n_batch=n_batch, dp_dtype=dp_dtype, alphabet=alphabet, dp_impl=dp_impl,
+        interpret=interpret,
     )
 
 

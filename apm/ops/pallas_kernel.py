@@ -51,6 +51,171 @@ from jax.experimental.pallas import tpu as pltpu
 FOLD = 8  # window-axis fold onto sublanes (8 rows = int32 sublane tile)
 INF = 1 << 20  # additive-safe infinity for out-of-band cells
 
+# --- bit-parallel (Myers/Hyyro) banded DP mode -----------------------------
+# The classic band pays ~5 VPU ops per diagonal per step (2k+1 diagonals);
+# the bit-parallel mode packs the whole band into one int32 bit vector per
+# window lane and pays a ~constant ~(2C + 25) ops per step (C = pattern-set
+# alphabet size), so it wins once the band is wide enough. Auto crossover
+# at k >= MYERS_KMIN_AUTO; k <= 14 keeps band width 2k+1 <= 29 bits clear of
+# the int32 sign bit (the D0 carry chain may touch bit 2k+1).
+MYERS_KMIN_AUTO = 3
+MYERS_KMAX = 14
+MYERS_CMAX = 8  # alphabet channels; PM costs 2 ops per channel per pattern
+MYERS_SMEM_MAX = 64 * 1024  # PEQ table budget (bytes) in scalar memory
+
+
+def _myers_mode(
+    k: int, alphabet: tuple, dp_dtype: str, dp_impl: str, p: int, m_max: int
+) -> bool:
+    """Static dispatch: run the bit-parallel band instead of the classic
+    diagonal band?  ``dp_impl``: "auto" (measured crossover), "band"
+    (never), "myers" (whenever representable)."""
+    if dp_impl == "band" or not alphabet or dp_dtype != "int32":
+        return False
+    if not (1 <= k <= MYERS_KMAX) or len(alphabet) > MYERS_CMAX:
+        return False
+    if k >= m_max:  # static phase reads PEQ row k; band path handles this
+        return False
+    if p * m_max * len(alphabet) * 4 > MYERS_SMEM_MAX:
+        return False
+    return True if dp_impl == "myers" else k >= MYERS_KMIN_AUTO
+
+
+def _build_peq(pat: jax.Array, k: int, m_max: int, alphabet: tuple):
+    """Match-bit table for the bit-parallel band: ``peq[pi*m_max + X, c]``
+    bit ``b`` set iff ``pat[pi, X + b] == alphabet[c]`` (``pat`` is the
+    k-padded table, so X indexes DP steps: the moving band at step x reads
+    row ``x - 1``; the static boundary phase reads row ``k``).  (P*m_max, C)
+    int32, placed in SMEM and read as per-pattern scalars."""
+    B = 2 * k + 1
+    p = pat.shape[0]
+    p32 = pat.astype(jnp.int32)  # (P, m_max + 2k)
+    wins = jnp.stack(
+        [p32[:, X : X + B] for X in range(m_max)], axis=1
+    )  # (P, m_max, B)
+    alph = jnp.asarray(alphabet, jnp.int32)
+    eq = wins[..., None] == alph  # (P, m_max, B, C)
+    bits = eq.astype(jnp.int32) << jnp.arange(B, dtype=jnp.int32).reshape(
+        1, 1, B, 1
+    )
+    return jnp.sum(bits, axis=2).reshape(p * m_max, len(alphabet))
+
+
+def _myers_phases(
+    peq_ref, text0, *, k, m_max, wf, plens, fold, alphabet
+):
+    """Bit-parallel banded-DP phases (the Myers-mode replacement for the
+    classic diagonal band in :func:`_scan_kernel_unrolled`).
+
+    Per (pattern, window-lane): the band's 2k+1 cells live as vertical
+    delta bit vectors ``VP``/``VN`` (bit b = R[b] - R[b-1] in band
+    coordinates) plus the center (main-diagonal) value ``ccen``; each DP
+    step is Hyyro's block update (~15 bit ops) instead of 2k+1 per-diagonal
+    min-chains.  Three phases:
+
+    1. *static* (x = 1..min(k, m)): the band covers pattern rows 1..2k+1
+       with the exact ``D[0][x] = x`` boundary encoded by a constant
+       horizontal carry-in of +1 (standard Myers distance boundary) — the
+       initial column D[y][0] = y is the constant all-ones VP;
+    2. *conversion* at x = k: the static band re-indexes onto the moving
+       (diagonal) band with one shift — the two bit conventions coincide;
+    3. *moving* (x = k+1..m): the band shifts down one row per step
+       (``VP >> 1``) with a fake top delta of +1; out-of-band cells act as
+       ``>= k+1`` surrogates, which preserves the ``<= k`` verdict exactly
+       (computed == true whenever true <= k; fuzz-verified against the
+       square-DP oracle over 50k random (pattern, window, k) triples).
+
+    ``ccen`` advances by ``1 - bit_center(D0)`` where ``D0 = Xh | VN`` is
+    the diagonal-equality vector; captures at x = plens[pi] are trace-time
+    (static lengths), as in the classic path.
+    """
+    B = 2 * k + 1
+    maskB = (1 << B) - 1
+    topbit = 1 << (B - 1)
+    active = sorted({m for m in plens if m > 0})
+    m_top = active[-1]
+    fullc = lambda v: jnp.full((fold, wf), v, jnp.int32)
+
+    state = {
+        pi: (fullc(maskB), fullc(0), fullc(0))
+        for pi, m in enumerate(plens)
+        if m > 0
+    }
+    res = {}
+
+    def pm(masks, pi, row):
+        # PM = OR_c (text == alphabet[c]) ? PEQ[pi, row, c] : 0
+        acc = None
+        for ci in range(len(alphabet)):
+            wv = peq_ref[pi * m_max + row, ci]
+            term = jnp.where(masks[ci], wv, 0)
+            acc = term if acc is None else acc | term
+        return acc
+
+    def bit_step(st, Eq, cbit):
+        VP, VN, cc = st
+        Xv = Eq | VN
+        Xh = (((Eq & VP) + VP) ^ VP) | Eq
+        Ph = VN | (~(Xh | VP) & maskB)
+        Mh = VP & Xh
+        Ph = ((Ph << 1) & maskB) | 1  # horizontal carry-in = +1
+        Mh = (Mh << 1) & maskB
+        nVP = Mh | (~(Xv | Ph) & maskB)
+        nVN = Ph & Xv
+        cc = cc + (1 - (((Xh | VN) >> cbit) & 1))
+        return (nVP, nVN, cc)
+
+    def alpha_masks(text):
+        txd = text[:, :wf]
+        return [txd == a for a in alphabet]
+
+    # Phase 1: static band, x = 1..min(k, m_top); center row x <-> bit x-1.
+    text = text0
+    x_top = min(k, m_top)
+    for x in range(1, x_top + 1):
+        masks = alpha_masks(text)
+        for pi, m in enumerate(plens):
+            if m > 0 and x <= m:
+                state[pi] = bit_step(state[pi], pm(masks, pi, k), x - 1)
+                if x == m:
+                    res[pi] = state[pi][2]
+        text = pltpu.roll(text, shift=text.shape[1] - 1, axis=1)
+
+    # Phase 2 entry: re-index survivors onto the moving band (bit b-1 -> b;
+    # bit 0 is the below-band fake, discarded by the first diagonal shift).
+    for pi, m in enumerate(plens):
+        if m > x_top and m > 0:
+            VP, VN, cc = state[pi]
+            state[pi] = (((VP << 1) | 1) & maskB, (VN << 1) & maskB, cc)
+
+    # Phase 3: moving band, segmented at distinct pattern lengths.
+    seg_bounds = [m for m in active if m > x_top]
+    lo = x_top + 1
+    for seg_end in seg_bounds:
+        live = [pi for pi, m in enumerate(plens) if m >= lo and m > 0]
+        carry = tuple(state[pi] for pi in live)
+
+        def body(x, c, live=live):
+            text, st = c
+            masks = alpha_masks(text)
+            out = []
+            for j, pi in enumerate(live):
+                VP, VN, cc = st[j]
+                shifted = ((VP >> 1) | topbit, VN >> 1, cc)
+                out.append(bit_step(shifted, pm(masks, pi, x - 1), k))
+            text = pltpu.roll(text, shift=text.shape[1] - 1, axis=1)
+            return text, tuple(out)
+
+        text, carry = jax.lax.fori_loop(
+            lo, seg_end + 1, body, (text, carry), unroll=False
+        )
+        for j, pi in enumerate(live):
+            state[pi] = carry[j]
+            if plens[pi] == seg_end:
+                res[pi] = carry[j][2]
+        lo = seg_end + 1
+    return res
+
 
 def _scan_kernel(
     meta_ref,  # SMEM (1, 2) int32 — [window bound (global), global start]
@@ -141,25 +306,10 @@ def _scan_kernel(
     out_ref[:] += jnp.sum(hits.astype(jnp.int32), axis=1, keepdims=True)
 
 
-def _scan_kernel_unrolled(
-    meta_ref,  # SMEM (1, 2) int32 — [window bound (global), global start];
-    # batch mode: (nblk, 2), PER-BLOCK [bound, start]
-    pchar_ref,  # SMEM (P, m_max + 2k) int32 — k-padded pattern chars
-    corpus_ref,  # VMEM (fold, wf + halo) uint8 — this block's text rows
-    out_ref,  # VMEM (P * fold, 1) int32 — per-row match counts (batch
-    # mode: this BLOCK's counts — each block owns its own output slot)
-    mask_ref=None,  # VMEM (P * fold, wf) int32 — per-WINDOW verdicts for
-    # this block (present only in mask mode; each block owns its own slot)
-    *,
-    k: int,
-    m_max: int,
-    wf: int,
-    plens: tuple,  # static per-pattern lengths (0 = padding row, skipped)
-    fold: int,  # window-axis fold onto sublanes (8/16/32 for i32/i16/i8)
-    dtype,  # DP cell dtype: jnp.int32 / jnp.int16 / jnp.int8
-    batch: bool = False,  # per-block meta + per-block outputs
+def _band_phases(
+    pchar_ref, text0, *, k, m_max, wf, plens, fold, dtype
 ):
-    """Pattern-unrolled, length-segmented variant.
+    """Classic diagonal-band DP phases (pattern-unrolled, length-segmented).
 
     The pattern loop is a Python loop (pattern chars are SMEM scalars
     broadcast into the compares — no replicated text, no VMEM pattern
@@ -179,10 +329,9 @@ def _scan_kernel_unrolled(
     int8 cells re-enable clamping at ``cap = k + 1`` (which preserves the
     ``<= k`` verdict exactly — min-plus clamping commutes) to stay in
     range; wider dtypes use an additive-safe INF and need no per-op clamp.
+
+    Returns the per-pattern ``D[m][m]`` capture dict.
     """
-    i = pl.program_id(0)
-    p = len(plens)
-    w = fold * wf
     clamp = dtype == jnp.int8
     cap = k + 1
     if dtype == jnp.int32:
@@ -192,37 +341,7 @@ def _scan_kernel_unrolled(
     else:
         inf_val = cap  # clamped domain: cap already means "> k"
     active = sorted({m for m in plens if m > 0})
-    if mask_ref is not None:
-        mask_ref[:] = jnp.zeros_like(mask_ref)  # covers padding patterns
-    if not active:
-        out_ref[:] = jnp.zeros_like(out_ref)
-        return
     m_top = active[-1]
-
-    if batch:
-        # Each block owns its own output slot; zero it unconditionally.
-        out_ref[:] = jnp.zeros_like(out_ref)
-        bound = meta_ref[i, 0]
-        start = meta_ref[i, 1]  # absolute virtual index of this block
-        base = start
-    else:
-
-        @pl.when(i == 0)
-        def _():
-            out_ref[:] = jnp.zeros_like(out_ref)
-
-        bound = meta_ref[0, 0]
-        start = meta_ref[0, 1]
-        base = i * w + start
-
-    text0 = corpus_ref[:].astype(jnp.int32)  # (fold, wpf)
-
-    win = (
-        jax.lax.broadcasted_iota(jnp.int32, (fold, wf), 0) * wf
-        + jax.lax.broadcasted_iota(jnp.int32, (fold, wf), 1)
-        + base
-    )
-    valid = win < bound  # (fold, wf)
 
     full = lambda v: jnp.full((fold, wf), v, dtype)
     one = jnp.asarray(1, dtype)
@@ -314,6 +433,80 @@ def _scan_kernel_unrolled(
             if plens[pi] == seg_end:
                 res[pi] = bands[pi][k]  # capture D[m][m] — free
         lo = seg_end + 1
+    return res
+
+
+def _scan_kernel_unrolled(
+    meta_ref,  # SMEM (1, 2) int32 — [window bound (global), global start];
+    # batch mode: (nblk, 2), PER-BLOCK [bound, start]
+    ptab_ref,  # SMEM pattern table: band mode (P, m_max + 2k) int32 chars;
+    # Myers mode (P * m_max, C) int32 PEQ match-bit words
+    corpus_ref,  # VMEM (fold, wf + halo) uint8 — this block's text rows
+    out_ref,  # VMEM (P * fold, 1) int32 — per-row match counts (batch
+    # mode: this BLOCK's counts — each block owns its own output slot)
+    mask_ref=None,  # VMEM (P * fold, wf) int32 — per-WINDOW verdicts for
+    # this block (present only in mask mode; each block owns its own slot)
+    *,
+    k: int,
+    m_max: int,
+    wf: int,
+    plens: tuple,  # static per-pattern lengths (0 = padding row, skipped)
+    fold: int,  # window-axis fold onto sublanes (8/16/32 for i32/i16/i8)
+    dtype,  # DP cell dtype: jnp.int32 / jnp.int16 / jnp.int8
+    batch: bool = False,  # per-block meta + per-block outputs
+    alphabet: tuple = (),  # non-empty => bit-parallel (Myers) band phases
+):
+    """Shared kernel plumbing (window ownership, count/mask accumulation)
+    around either :func:`_band_phases` (classic diagonal band) or
+    :func:`_myers_phases` (bit-parallel band, dispatched when ``alphabet``
+    is set — see :func:`_myers_mode`). Both return the same per-pattern
+    ``D[m][m]`` captures; the ``<= k`` verdict, ownership masking, and
+    output layout are identical."""
+    i = pl.program_id(0)
+    w = fold * wf
+    active = sorted({m for m in plens if m > 0})
+    if mask_ref is not None:
+        mask_ref[:] = jnp.zeros_like(mask_ref)  # covers padding patterns
+    if not active:
+        out_ref[:] = jnp.zeros_like(out_ref)
+        return
+
+    if batch:
+        # Each block owns its own output slot; zero it unconditionally.
+        out_ref[:] = jnp.zeros_like(out_ref)
+        bound = meta_ref[i, 0]
+        start = meta_ref[i, 1]  # absolute virtual index of this block
+        base = start
+    else:
+
+        @pl.when(i == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        bound = meta_ref[0, 0]
+        start = meta_ref[0, 1]
+        base = i * w + start
+
+    text0 = corpus_ref[:].astype(jnp.int32)  # (fold, wpf)
+
+    win = (
+        jax.lax.broadcasted_iota(jnp.int32, (fold, wf), 0) * wf
+        + jax.lax.broadcasted_iota(jnp.int32, (fold, wf), 1)
+        + base
+    )
+    valid = win < bound  # (fold, wf)
+
+    if alphabet:
+        res = _myers_phases(
+            ptab_ref, text0,
+            k=k, m_max=m_max, wf=wf, plens=plens, fold=fold,
+            alphabet=alphabet,
+        )
+    else:
+        res = _band_phases(
+            ptab_ref, text0,
+            k=k, m_max=m_max, wf=wf, plens=plens, fold=fold, dtype=dtype,
+        )
 
     for pi, m in enumerate(plens):
         if m == 0:
@@ -329,10 +522,20 @@ def _scan_kernel_unrolled(
 _DTYPE_FOLD = {"int32": 8, "int16": 16, "int8": 32}
 
 
+def _ptab_for(pat, *, k, m_max, dp_dtype, dp_impl, alphabet):
+    """Resolve the kernel's SMEM pattern table for the selected DP mode:
+    ``(PEQ match-bit words, alphabet)`` in Myers mode, ``(pattern chars,
+    ())`` in classic band mode."""
+    if _myers_mode(k, alphabet, dp_dtype, dp_impl, pat.shape[0], m_max):
+        return _build_peq(pat, k, m_max, alphabet), tuple(alphabet)
+    return pat.astype(jnp.int32), ()
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "k", "m_max", "wf", "halo", "plens", "dp_dtype", "interpret"
+        "k", "m_max", "wf", "halo", "plens", "dp_dtype", "interpret",
+        "alphabet", "dp_impl",
     ),
 )
 def scan_folded_pallas_unrolled(
@@ -348,6 +551,8 @@ def scan_folded_pallas_unrolled(
     plens: tuple,  # static per-pattern lengths
     dp_dtype: str = "int32",  # DP cell dtype: int32 / int16 / int8
     interpret: bool = False,
+    alphabet: tuple = (),  # static distinct pattern bytes (Myers mode key)
+    dp_impl: str = "auto",  # "auto" / "band" / "myers" (see _myers_mode)
 ) -> jax.Array:
     """Length-segmented scan. Same contract as :func:`scan_folded_pallas`
     but pattern lengths are static (one compile per length multiset) and
@@ -364,7 +569,10 @@ def scan_folded_pallas_unrolled(
     nblk = r_rows // fold
     bw = 2 * k + 1
 
-    pchar = pat.astype(jnp.int32)
+    pchar, kern_alphabet = _ptab_for(
+        pat, k=k, m_max=m_max, dp_dtype=dp_dtype, dp_impl=dp_impl,
+        alphabet=alphabet,
+    )
     meta = jnp.stack(
         [bound.astype(jnp.int32).reshape(()), start.astype(jnp.int32).reshape(())]
     ).reshape(1, 2)
@@ -391,6 +599,7 @@ def scan_folded_pallas_unrolled(
             plens=plens,
             fold=fold,
             dtype=dtype,
+            alphabet=kern_alphabet,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((p * fold, 1), jnp.int32),
@@ -410,7 +619,8 @@ def scan_folded_pallas_unrolled(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "k", "m_max", "wf", "halo", "plens", "dp_dtype", "interpret"
+        "k", "m_max", "wf", "halo", "plens", "dp_dtype", "interpret",
+        "alphabet", "dp_impl",
     ),
 )
 def scan_folded_pallas_batch(
@@ -425,6 +635,8 @@ def scan_folded_pallas_batch(
     plens: tuple,
     dp_dtype: str = "int32",
     interpret: bool = False,
+    alphabet: tuple = (),  # static distinct pattern bytes (Myers mode key)
+    dp_impl: str = "auto",
 ) -> jax.Array:
     """Batched scan: many independent corpora in ONE kernel call.
 
@@ -449,7 +661,10 @@ def scan_folded_pallas_batch(
     assert meta.shape == (nblk, 2), (meta.shape, nblk)
     bw = 2 * k + 1
 
-    pchar = pat.astype(jnp.int32)
+    pchar, kern_alphabet = _ptab_for(
+        pat, k=k, m_max=m_max, dp_dtype=dp_dtype, dp_impl=dp_impl,
+        alphabet=alphabet,
+    )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
@@ -474,6 +689,7 @@ def scan_folded_pallas_batch(
             fold=fold,
             dtype=dtype,
             batch=True,
+            alphabet=kern_alphabet,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nblk * p * fold, 1), jnp.int32),
@@ -494,7 +710,8 @@ def scan_folded_pallas_batch(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "k", "m_max", "wf", "halo", "plens", "dp_dtype", "interpret"
+        "k", "m_max", "wf", "halo", "plens", "dp_dtype", "interpret",
+        "alphabet", "dp_impl",
     ),
 )
 def scan_folded_pallas_mask(
@@ -510,6 +727,8 @@ def scan_folded_pallas_mask(
     plens: tuple,
     dp_dtype: str = "int32",
     interpret: bool = False,
+    alphabet: tuple = (),  # static distinct pattern bytes (Myers mode key)
+    dp_impl: str = "auto",
 ):
     """:func:`scan_folded_pallas_unrolled` that also returns the per-WINDOW
     verdict mask — ``(counts (P,), mask (R, P, wf) int8)`` with
@@ -532,7 +751,10 @@ def scan_folded_pallas_mask(
     nblk = r_rows // fold
     bw = 2 * k + 1
 
-    pchar = pat.astype(jnp.int32)
+    pchar, kern_alphabet = _ptab_for(
+        pat, k=k, m_max=m_max, dp_dtype=dp_dtype, dp_impl=dp_impl,
+        alphabet=alphabet,
+    )
     meta = jnp.stack(
         [bound.astype(jnp.int32).reshape(()), start.astype(jnp.int32).reshape(())]
     ).reshape(1, 2)
@@ -564,6 +786,7 @@ def scan_folded_pallas_mask(
             plens=plens,
             fold=fold,
             dtype=dtype,
+            alphabet=kern_alphabet,
         ),
         grid_spec=grid_spec,
         out_shape=(

@@ -173,6 +173,8 @@ def count_multihost(scanner: "Scanner", path: str) -> np.ndarray:
                 halo=halo,
                 plens=plan.plens_dp,
                 dp_dtype=scanner.config.dp_dtype,
+        alphabet=scanner._dp_alphabet(),
+        dp_impl=scanner.config.dp_impl,
                 interpret=scanner.config.interpret,
             )
             counts += np.asarray(dev_counts)

@@ -48,11 +48,11 @@ def _cdiv(a: int, b: int) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "mesh", "backend", "k", "m_max", "w", "halo", "plens", "dp_dtype",
+        "mesh", "backend", "k", "m_max", "w", "halo", "plens", "dp_dtype", "alphabet", "dp_impl",
         "interpret"
     ),
 )
-def _database_sharded(shards, starts, pat, plen, bound, *, mesh, backend, k, m_max, w, halo, plens, dp_dtype="int32", interpret=False):
+def _database_sharded(shards, starts, pat, plen, bound, *, mesh, backend, k, m_max, w, halo, plens, dp_dtype="int32", alphabet=(), dp_impl="auto", interpret=False):
     def body(shard, start, pat, plen, bound):
         if backend == "pallas":
             from ..ops.pallas_kernel import scan_folded_pallas_unrolled
@@ -60,7 +60,8 @@ def _database_sharded(shards, starts, pat, plen, bound, *, mesh, backend, k, m_m
             counts = scan_folded_pallas_unrolled(
                 shard[0], pat, bound, start[0],
                 k=k, m_max=m_max, wf=w, halo=halo, plens=plens,
-                dp_dtype=dp_dtype, interpret=interpret,
+                dp_dtype=dp_dtype, alphabet=alphabet, dp_impl=dp_impl,
+            interpret=interpret,
             )
         else:
             from ..ops.xla_engine import scan_corpus_xla
@@ -139,12 +140,12 @@ def _filter_sharded(shards, starts, pat_raw, bound, *, mesh, k, m_max, w, halo, 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "mesh", "k", "m_max", "w", "halo", "plens", "dp_dtype", "interpret"
+        "mesh", "k", "m_max", "w", "halo", "plens", "dp_dtype", "alphabet", "dp_impl", "interpret"
     ),
 )
 def _filter_verify_sharded(
     shards, starts, pat_raw, pat, bound, *, mesh, k, m_max, w, halo, plens,
-    dp_dtype="int32", interpret=False,
+    dp_dtype="int32", alphabet=(), dp_impl="auto", interpret=False,
 ):
     """Sharded fused filtration + on-device verification (k >= 1).
 
@@ -165,7 +166,8 @@ def _filter_verify_sharded(
         packed, rowmap = filter_verify_chunk(
             shard[0], pat_raw, pat, bound, start[0],
             k=k, m_max=m_max, wf=w, halo=halo, plens=plens,
-            dp_dtype=dp_dtype, interpret=interpret,
+            dp_dtype=dp_dtype, alphabet=alphabet, dp_impl=dp_impl,
+            interpret=interpret,
         )
         return _collective_pack(packed, pat_raw.shape[0]), rowmap[None]
 
@@ -185,13 +187,13 @@ def _filter_verify_sharded(
     jax.jit,
     static_argnames=(
         "mesh", "k", "m_max", "w", "halo", "plens", "w_kern", "n_rows",
-        "g_rows", "fp1_stride", "dp_dtype", "interpret",
+        "g_rows", "fp1_stride", "dp_dtype", "alphabet", "dp_impl", "interpret",
     ),
 )
 def _filter_verify_conv_sharded(
     shards, starts, pkern, pthr, owner, alph, pat, bound, *, mesh, k, m_max,
     w, halo, plens, w_kern, n_rows, g_rows, fp1_stride=1, dp_dtype="int32",
-    interpret=False,
+    alphabet=(), dp_impl="auto", interpret=False,
 ):
     """:func:`_filter_verify_sharded` with conv phase 1
     (``apm.ops.fused.filter_verify_chunk_conv``) — same packed layout."""
@@ -202,7 +204,8 @@ def _filter_verify_conv_sharded(
             shard[0], pkern, pthr, owner, alph, pat, bound, start[0],
             k=k, m_max=m_max, wf=w, halo=halo, plens=plens,
             w_kern=w_kern, n_rows=n_rows, g_rows=g_rows,
-            fp1_stride=fp1_stride, dp_dtype=dp_dtype, interpret=interpret,
+            fp1_stride=fp1_stride, dp_dtype=dp_dtype, alphabet=alphabet, dp_impl=dp_impl,
+            interpret=interpret,
         )
         return _collective_pack(packed, pat.shape[0]), rowmap[None]
 
@@ -292,6 +295,8 @@ def sharded_filter_chunks(
             ),
             fp1_stride=fp1_stride,
             dp_dtype=scanner.config.dp_dtype,
+            alphabet=scanner._dp_alphabet(),
+            dp_impl=scanner.config.dp_impl,
             interpret=scanner.config.interpret,
         )
     else:
@@ -300,6 +305,8 @@ def sharded_filter_chunks(
             mesh=mesh, k=k, m_max=m_max, w=wf, halo=halo,
             plens=plan.plens_filter,
             dp_dtype=scanner.config.dp_dtype,
+            alphabet=scanner._dp_alphabet(),
+            dp_impl=scanner.config.dp_impl,
             interpret=scanner.config.interpret,
         )
 
@@ -329,6 +336,8 @@ def sharded_filter_chunks(
             mesh=mesh, backend=backend, k=k, m_max=m_max,
             w=wf, halo=halo, plens=plan.plens_filter,
             dp_dtype=scanner.config.dp_dtype,
+            alphabet=scanner._dp_alphabet(),
+            dp_impl=scanner.config.dp_impl,
             interpret=scanner.config.interpret,
         )
         return np.asarray(dev).astype(np.int64)
@@ -437,6 +446,8 @@ def count_database_over_devices(scanner: "Scanner", buf: np.ndarray, n_dev: int)
                     mesh=mesh, backend=backend, k=k, m_max=m_max, w=wf,
                     halo=halo, plens=plan.plens_dp,
                     dp_dtype=scanner.config.dp_dtype,
+            alphabet=scanner._dp_alphabet(),
+            dp_impl=scanner.config.dp_impl,
                     interpret=scanner.config.interpret,
                 )
                 counts += np.asarray(dev)

@@ -50,6 +50,12 @@ class ApmConfig:
     # or "int16"/"int8" as CPU/interpret-mode test layouts (the <= k verdict
     # is exact for all of them; int8 re-enables clamping at k+1).
     dp_dtype: str = "int32"
+    # Banded-DP implementation: "auto" picks the bit-parallel (Myers/Hyyro)
+    # band once it beats the classic diagonal band (k >= 3, small pattern
+    # alphabet); "band" forces the classic per-diagonal min-chains; "myers"
+    # forces the bit-parallel band wherever it is representable
+    # (1 <= k <= 14, alphabet <= 8 distinct bytes, int32 cells).
+    dp_impl: str = "auto"
     # Keep the staged corpus device-resident between count() calls (keyed by
     # a full-content hash) so repeated scans skip host->device transfer.
     cache_corpus: bool = True
@@ -83,6 +89,8 @@ class ApmConfig:
             raise ValueError(f"unknown engine {self.engine!r}")
         if self.dp_dtype not in ("int32", "int16", "int8"):
             raise ValueError(f"unknown dp_dtype {self.dp_dtype!r}")
+        if self.dp_impl not in ("auto", "band", "myers"):
+            raise ValueError(f"unknown dp_impl {self.dp_impl!r}")
         if self.cache_bytes is not None and self.cache_bytes < 0:
             raise ValueError("cache_bytes must be >= 0")
         if self.batch_blocks is not None and self.batch_blocks <= 0:
