@@ -460,8 +460,8 @@ class Scanner:
                             k=k, m_max=self.m_max, wf=wf, halo=halo,
                             plens=plan.plens_filter,
                             dp_dtype=self.config.dp_dtype,
-                        alphabet=self._dp_alphabet(),
-                        dp_impl=self.config.dp_impl,
+                            alphabet=self._dp_alphabet(),
+                            dp_impl=self.config.dp_impl,
                             interpret=self.config.interpret,
                         )
                     )
@@ -584,8 +584,8 @@ class Scanner:
                     rows, jax.numpy.asarray(self._pat), zero32, zero32,
                     k=k, m_max=self.m_max, wf=wf, halo=halo,
                     plens=plan.plens_dp, dp_dtype=self.config.dp_dtype,
-                        alphabet=self._dp_alphabet(),
-                        dp_impl=self.config.dp_impl,
+                    alphabet=self._dp_alphabet(),
+                    dp_impl=self.config.dp_impl,
                     interpret=self.config.interpret,
                 )
             )
@@ -617,8 +617,8 @@ class Scanner:
                     ),
                     fp1_stride=fp1_stride,
                     dp_dtype=self.config.dp_dtype,
-                        alphabet=self._dp_alphabet(),
-                        dp_impl=self.config.dp_impl,
+                    alphabet=self._dp_alphabet(),
+                    dp_impl=self.config.dp_impl,
                     interpret=self.config.interpret,
                 )
                 np.asarray(packed)
@@ -628,8 +628,8 @@ class Scanner:
                     jax.numpy.asarray(self._pat), zero32, zero32,
                     k=k, m_max=self.m_max, wf=wf, halo=halo,
                     plens=plan.plens_filter, dp_dtype=self.config.dp_dtype,
-                        alphabet=self._dp_alphabet(),
-                        dp_impl=self.config.dp_impl,
+                    alphabet=self._dp_alphabet(),
+                    dp_impl=self.config.dp_impl,
                     interpret=self.config.interpret,
                 )
                 np.asarray(packed)
@@ -706,8 +706,8 @@ class Scanner:
                 kw_common = dict(
                     k=k, m_max=self.m_max, wf=wf, halo=halo, p_real=p_all,
                     dp_dtype=self.config.dp_dtype,
-                        alphabet=self._dp_alphabet(),
-                        dp_impl=self.config.dp_impl,
+                    alphabet=self._dp_alphabet(),
+                    dp_impl=self.config.dp_impl,
                     interpret=self.config.interpret,
                 )
                 dpat_raw = jax.numpy.asarray(self._pat_raw)
@@ -1037,8 +1037,8 @@ class Scanner:
                     k=k, m_max=self.m_max, wf=wf, halo=halo,
                     plens=self._plens_static,
                     dp_dtype=self.config.dp_dtype,
-                        alphabet=self._dp_alphabet(),
-                        dp_impl=self.config.dp_impl,
+                    alphabet=self._dp_alphabet(),
+                    dp_impl=self.config.dp_impl,
                     interpret=self.config.interpret,
                 )
                 handles.append((group, cnts))

@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 
 from .filter_kernel import FOLD, scan_filter_pallas
-from .pallas_kernel import scan_folded_pallas_unrolled
+from .pallas_kernel import resolve_dp_mode, scan_folded_pallas_unrolled
 
 # Hot-row compaction bucket: rows verified on device per chunk. Must be a
 # multiple of FOLD (kernel block height). 64 rows x (wf + halo) bytes is
@@ -49,6 +49,26 @@ MAX_HOT = 64
 MAX_CLIP = 8
 
 
+def _dp_mode_shim(inner):
+    """Wrap a fused jit entry so ``alphabet``/``dp_impl`` are normalized
+    OUTSIDE the jit (``pallas_kernel.resolve_dp_mode``): when Myers mode
+    is off the banded kernel never reads the alphabet, and leaving it in
+    the static cache key would recompile per pattern-byte-set. ``len(
+    plens)`` equals the pattern-table row count the SMEM budget check
+    needs."""
+
+    @functools.wraps(inner)
+    def shim(*args, **kw):
+        kw["alphabet"], kw["dp_impl"] = resolve_dp_mode(
+            kw["k"], kw.get("alphabet", ()), kw.get("dp_dtype", "int32"),
+            kw.get("dp_impl", "auto"), len(kw["plens"]), kw["m_max"],
+        )
+        return inner(*args, **kw)
+
+    return shim
+
+
+@_dp_mode_shim
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -157,6 +177,7 @@ def _verify_phase2(
     return packed, rowmap
 
 
+@_dp_mode_shim
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -247,6 +268,7 @@ def unpack_mask_bits(packed: "np.ndarray", pi: int, n_rows: int):
     ).reshape(n_rows, sub.shape[1] * 32)
 
 
+@_dp_mode_shim
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -294,6 +316,7 @@ def gather_mask_rows(
     return _pack_mask_bits(mask, p_real)
 
 
+@_dp_mode_shim
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -398,6 +421,7 @@ def _positions_tail(
 SWEEP_MASK_BYTES = 64 << 20
 
 
+@_dp_mode_shim
 @functools.partial(
     jax.jit,
     static_argnames=(

@@ -81,6 +81,26 @@ def _myers_mode(
     return True if dp_impl == "myers" else k >= MYERS_KMIN_AUTO
 
 
+def resolve_dp_mode(
+    k: int, alphabet: tuple, dp_dtype: str, dp_impl: str, p: int, m_max: int
+) -> tuple:
+    """Collapse the jit cache key when the bit-parallel mode is off.
+
+    ``alphabet`` is a static jit arg on every scan entry point, but the
+    classic band never reads it — without this normalization, pattern
+    sets with identical length multisets but different bytes would each
+    pay a fresh TPU compile (10 s–8 min on remote-compile testbeds) for
+    a byte-identical kernel. Resolving :func:`_myers_mode` OUTSIDE the
+    jit and passing ``((), "band")`` whenever the mode is off restores
+    the plens-only cache key; when the mode is on, ``(alphabet,
+    "myers")`` collapses ``dp_impl="auto"`` and ``"myers"`` onto one
+    entry as well.
+    """
+    if _myers_mode(k, alphabet, dp_dtype, dp_impl, p, m_max):
+        return tuple(alphabet), "myers"
+    return (), "band"
+
+
 def _build_peq(pat: jax.Array, k: int, m_max: int, alphabet: tuple):
     """Match-bit table for the bit-parallel band: ``peq[pi*m_max + X, c]``
     bit ``b`` set iff ``pat[pi, X + b] == alphabet[c]`` (``pat`` is the
@@ -184,7 +204,7 @@ def _myers_phases(
     # Phase 2 entry: re-index survivors onto the moving band (bit b-1 -> b;
     # bit 0 is the below-band fake, discarded by the first diagonal shift).
     for pi, m in enumerate(plens):
-        if m > x_top and m > 0:
+        if m > x_top:
             VP, VN, cc = state[pi]
             state[pi] = (((VP << 1) | 1) & maskB, (VN << 1) & maskB, cc)
 
@@ -531,6 +551,28 @@ def _ptab_for(pat, *, k, m_max, dp_dtype, dp_impl, alphabet):
     return pat.astype(jnp.int32), ()
 
 
+def scan_folded_pallas_unrolled(
+    corpus_rows, pat, bound, start, *,
+    k, m_max, wf, halo, plens, dp_dtype="int32", interpret=False,
+    alphabet=(), dp_impl="auto",
+):
+    """Length-segmented scan. Same contract as :func:`scan_folded_pallas`
+    but pattern lengths are static (one compile per length multiset) and
+    the DP cell dtype is selectable (narrower = denser vregs = faster;
+    ``fold`` = rows per block follows the dtype's sublane tile).
+
+    Thin non-jit shim: resolves the DP mode (:func:`resolve_dp_mode`) so
+    the jit cache key stays plens-only whenever Myers mode is off."""
+    alphabet, dp_impl = resolve_dp_mode(
+        k, alphabet, dp_dtype, dp_impl, pat.shape[0], m_max
+    )
+    return _scan_folded_pallas_unrolled(
+        corpus_rows, pat, bound, start,
+        k=k, m_max=m_max, wf=wf, halo=halo, plens=plens, dp_dtype=dp_dtype,
+        interpret=interpret, alphabet=alphabet, dp_impl=dp_impl,
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -538,7 +580,7 @@ def _ptab_for(pat, *, k, m_max, dp_dtype, dp_impl, alphabet):
         "alphabet", "dp_impl",
     ),
 )
-def scan_folded_pallas_unrolled(
+def _scan_folded_pallas_unrolled(
     corpus_rows: jax.Array,  # (R, wf + halo) uint8 — folded corpus rows
     pat: jax.Array,  # (P, m_max + 2k) uint8 — k-padded pattern table
     bound: jax.Array,  # () int32 — global window-index bound (exclusive)
@@ -554,10 +596,6 @@ def scan_folded_pallas_unrolled(
     alphabet: tuple = (),  # static distinct pattern bytes (Myers mode key)
     dp_impl: str = "auto",  # "auto" / "band" / "myers" (see _myers_mode)
 ) -> jax.Array:
-    """Length-segmented scan. Same contract as :func:`scan_folded_pallas`
-    but pattern lengths are static (one compile per length multiset) and
-    the DP cell dtype is selectable (narrower = denser vregs = faster;
-    ``fold`` = rows per block follows the dtype's sublane tile)."""
     p = pat.shape[0]
     fold = _DTYPE_FOLD[dp_dtype]
     dtype = jnp.dtype(dp_dtype).type
@@ -616,6 +654,23 @@ def scan_folded_pallas_unrolled(
     return jnp.sum(counts.reshape(p, fold), axis=1)
 
 
+def scan_folded_pallas_batch(
+    corpus_rows, pat, meta, *,
+    k, m_max, wf, halo, plens, dp_dtype="int32", interpret=False,
+    alphabet=(), dp_impl="auto",
+):
+    """Non-jit shim for :func:`_scan_folded_pallas_batch` — resolves the
+    DP mode outside the jit (see :func:`resolve_dp_mode`)."""
+    alphabet, dp_impl = resolve_dp_mode(
+        k, alphabet, dp_dtype, dp_impl, pat.shape[0], m_max
+    )
+    return _scan_folded_pallas_batch(
+        corpus_rows, pat, meta,
+        k=k, m_max=m_max, wf=wf, halo=halo, plens=plens, dp_dtype=dp_dtype,
+        interpret=interpret, alphabet=alphabet, dp_impl=dp_impl,
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -623,7 +678,7 @@ def scan_folded_pallas_unrolled(
         "alphabet", "dp_impl",
     ),
 )
-def scan_folded_pallas_batch(
+def _scan_folded_pallas_batch(
     corpus_rows: jax.Array,  # (R, wf + halo) uint8 — folded rows, many corpora
     pat: jax.Array,  # (P, m_max + 2k) uint8 — k-padded pattern table
     meta: jax.Array,  # (R // fold, 2) int32 — PER-BLOCK [bound, start]
@@ -707,6 +762,23 @@ def scan_folded_pallas_batch(
     return jnp.sum(counts.reshape(nblk, p, fold), axis=2)
 
 
+def scan_folded_pallas_mask(
+    corpus_rows, pat, bound, start, *,
+    k, m_max, wf, halo, plens, dp_dtype="int32", interpret=False,
+    alphabet=(), dp_impl="auto",
+):
+    """Non-jit shim for :func:`_scan_folded_pallas_mask` — resolves the
+    DP mode outside the jit (see :func:`resolve_dp_mode`)."""
+    alphabet, dp_impl = resolve_dp_mode(
+        k, alphabet, dp_dtype, dp_impl, pat.shape[0], m_max
+    )
+    return _scan_folded_pallas_mask(
+        corpus_rows, pat, bound, start,
+        k=k, m_max=m_max, wf=wf, halo=halo, plens=plens, dp_dtype=dp_dtype,
+        interpret=interpret, alphabet=alphabet, dp_impl=dp_impl,
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -714,7 +786,7 @@ def scan_folded_pallas_batch(
         "alphabet", "dp_impl",
     ),
 )
-def scan_folded_pallas_mask(
+def _scan_folded_pallas_mask(
     corpus_rows: jax.Array,  # (R, wf + halo) uint8 — folded corpus rows
     pat: jax.Array,  # (P, m_max + 2k) uint8 — k-padded pattern table
     bound: jax.Array,  # () int32 — window-index bound (exclusive)

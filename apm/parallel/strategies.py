@@ -446,8 +446,8 @@ def count_database_over_devices(scanner: "Scanner", buf: np.ndarray, n_dev: int)
                     mesh=mesh, backend=backend, k=k, m_max=m_max, w=wf,
                     halo=halo, plens=plan.plens_dp,
                     dp_dtype=scanner.config.dp_dtype,
-            alphabet=scanner._dp_alphabet(),
-            dp_impl=scanner.config.dp_impl,
+                    alphabet=scanner._dp_alphabet(),
+                    dp_impl=scanner.config.dp_impl,
                     interpret=scanner.config.interpret,
                 )
                 counts += np.asarray(dev)

@@ -190,3 +190,47 @@ def test_prewarm_background_thread():
 def test_prewarm_join_without_prewarm():
     sc = Scanner([b"ACG"], 0, ApmConfig(backend="xla"))
     assert sc.prewarm_join() is True
+
+
+def test_jit_cache_collapses_when_myers_off():
+    """Pattern sets with identical length multisets but different BYTES must
+    share one compile whenever the bit-parallel mode is off (the classic
+    band never reads pattern bytes at trace time) — the static ``alphabet``
+    arg is normalized to () outside the jit (ADVICE r2 #1)."""
+    from apm.ops.pallas_kernel import (
+        _scan_folded_pallas_unrolled,
+        scan_folded_pallas_unrolled,
+    )
+
+    k = 0  # k = 0 is always Myers-ineligible
+    wf, halo = 256, 128
+    rows = jnp.zeros((FOLD, wf + halo), jnp.uint8)
+    before = _scan_folded_pallas_unrolled._cache_size()
+    outs = []
+    for pat_bytes in (b"GATTACA!", b"CCCTTTAA"):
+        pat = np.zeros((8, 8 + 2 * k), np.uint8)
+        pat[0, :8] = np.frombuffer(pat_bytes, np.uint8)
+        alphabet = tuple(sorted(set(pat_bytes)))
+        outs.append(
+            np.asarray(
+                scan_folded_pallas_unrolled(
+                    rows, jnp.asarray(pat), jnp.int32(0), jnp.int32(0),
+                    k=k, m_max=8, wf=wf, halo=halo,
+                    plens=(8,) + (0,) * 7, alphabet=alphabet,
+                    interpret=True,
+                )
+            )
+        )
+    assert _scan_folded_pallas_unrolled._cache_size() == before + 1
+    # And dp_impl auto/myers collapse onto one entry when the mode is ON.
+    k = 4
+    for impl in ("auto", "myers"):
+        pat = np.zeros((8, 16 + 2 * k), np.uint8)
+        pat[0, :16] = np.frombuffer(b"GATTACAGGATTACAG", np.uint8)
+        scan_folded_pallas_unrolled(
+            jnp.zeros((FOLD, wf + halo), jnp.uint8), jnp.asarray(pat),
+            jnp.int32(0), jnp.int32(0),
+            k=k, m_max=16, wf=wf, halo=halo, plens=(16,) + (0,) * 7,
+            alphabet=(65, 67, 71, 84), dp_impl=impl, interpret=True,
+        )
+    assert _scan_folded_pallas_unrolled._cache_size() == before + 2
