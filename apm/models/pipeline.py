@@ -233,6 +233,12 @@ class FilterChunk:
     n_hot: object  # () or int — true full-hot-row count
     clip_starts: object  # (MAX_CLIP,) global starts of clipped hot rows
     rowmap: object = None  # (R, P) device handle, or a fetch callable, or None
+    verify_dev: object = None  # callable(n_hot) -> list of (P,) device count
+    # handles re-verifying ALL this chunk's full hot rows ON DEVICE
+    # (apm.ops.fused.count_hot_batch), or None past the compaction cap.
+    # Attaching it asserts this chunk's ``vcnt`` is CHUNK-LOCAL (the
+    # single-device loop) — sharded paths carry psum'd totals and must
+    # leave it None.
 
 
 def candidate_density_dense(hot_rows: int, wf: int, dev_bound: int) -> bool:
@@ -292,21 +298,49 @@ def finalize_filtration(
     if candidate_density_dense(hot_total, plan.wf, plan.dev_bound):
         return rescan().astype(np.int64)
 
-    overflow = [ch for ch, h in zip(chunks, n_hots) if h > max_hot]
+    overflow = [(ch, h) for ch, h in zip(chunks, n_hots) if h > max_hot]
     if overflow:
-        if any(ch.rowmap is None for ch in overflow):
+        # Preferred recovery: re-verify each overflowed chunk's hot rows
+        # ON DEVICE (count_hot_batch over the resident staging + row map)
+        # — chunk-local vcnt of non-overflow chunks is kept, overflow
+        # chunks are replaced by their batch sums. One extra fetch total.
+        dev_batches = None
+        if all(ch.verify_dev is not None for ch, _ in overflow):
+            dev_batches = [(ch, ch.verify_dev(h)) for ch, h in overflow]
+            if any(b is None for _, b in dev_batches):
+                dev_batches = None  # a chunk exceeded the compaction cap
+        if dev_batches is not None:
+            import jax.numpy as jnp
+
+            handles = [h for _, batches in dev_batches for h in batches]
+            fetched = np.asarray(jnp.stack(handles))  # (B, P) one fetch
+            redone = {id(ch) for ch, _ in overflow}
+            for ch, h in zip(chunks, n_hots):
+                if id(ch) not in redone:
+                    out += np.asarray(ch.vcnt, dtype=np.int64)
+            bi = 0
+            for ch, batches in dev_batches:
+                nb = len(batches)
+                out += fetched[bi : bi + nb].sum(axis=0, dtype=np.int64)
+                bi += nb
+        elif any(ch.rowmap is None for ch, _ in overflow):
             return rescan().astype(np.int64)
-        # Moderate density: verify ALL full hot rows host-staged (the
-        # psum'd on-device vcnt can't be split per chunk, so it is
-        # discarded wholesale).
-        rows: List[int] = []
-        for ch in chunks:
-            rm = ch.rowmap() if callable(ch.rowmap) else np.asarray(ch.rowmap)
-            for r in np.nonzero(rm.any(axis=1))[0]:
-                j0 = ch.c0 + int(r) * plan.wf
-                if j0 + plan.wf <= plan.dev_bound:
-                    rows.append(j0)
-        out += verify_rows_host(scanner, reader, n, sorted(set(rows)), plan)
+        else:
+            # Host-staged fallback: verify ALL full hot rows (the psum'd
+            # on-device vcnt can't be split per chunk, so it is discarded
+            # wholesale).
+            rows: List[int] = []
+            for ch in chunks:
+                rm = (
+                    ch.rowmap() if callable(ch.rowmap) else np.asarray(ch.rowmap)
+                )
+                for r in np.nonzero(rm.any(axis=1))[0]:
+                    j0 = ch.c0 + int(r) * plan.wf
+                    if j0 + plan.wf <= plan.dev_bound:
+                        rows.append(j0)
+            out += verify_rows_host(
+                scanner, reader, n, sorted(set(rows)), plan
+            )
     else:
         out += vcnt
 

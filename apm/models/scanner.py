@@ -306,7 +306,13 @@ class Scanner:
         (SURVEY.md §5).
         """
         from ..ops.filter_kernel import scan_filter_pallas
-        from ..ops.fused import MAX_HOT, filter_verify_chunk
+        from ..ops.fused import (
+            OVERFLOW_BATCH,
+            OVERFLOW_CAP,
+            count_hot_batch,
+            filter_verify_chunk,
+            pick_max_hot,
+        )
         from ..ops.pallas_kernel import scan_folded_pallas_unrolled
         from .pipeline import (
             FilterChunk,
@@ -331,6 +337,7 @@ class Scanner:
             round_up(min(self.config.chunk_bytes, dev_bound), plan.w),
         )
         n_rows = chunk_win // wf
+        max_hot = pick_max_hot(n_rows, wf, plan.plens_filter, k)
         dpat = jax.numpy.asarray(self._pat)
         dpat_raw = jax.numpy.asarray(self._pat_raw)
         dbound = jax.numpy.asarray(dev_bound, dtype=np.int32)
@@ -405,30 +412,32 @@ class Scanner:
                         plens=plan.plens_filter,
                         w_kern=dpkern.shape[0], n_rows=n_rows,
                         g_rows=fp1_g_rows, fp1_stride=fp1_stride,
+                        max_hot=max_hot,
                         dp_dtype=self.config.dp_dtype,
                         alphabet=self._dp_alphabet(),
                         dp_impl=self.config.dp_impl,
                         interpret=self.config.interpret,
                     )
-                    raw_chunks.append((c0, packed, rowmap))
+                    raw_chunks.append((c0, packed, rowmap, drows))
                 else:
                     packed, rowmap = filter_verify_chunk(
                         drows, dpat_raw, dpat, dbound, dc0,
                         k=k, m_max=self.m_max, wf=wf, halo=halo,
                         plens=plan.plens_filter,
+                        max_hot=max_hot,
                         dp_dtype=self.config.dp_dtype,
                         alphabet=self._dp_alphabet(),
                         dp_impl=self.config.dp_impl,
                         interpret=self.config.interpret,
                     )
-                    raw_chunks.append((c0, packed, rowmap))
+                    raw_chunks.append((c0, packed, rowmap, drows))
 
         # ONE device->host fetch for all per-chunk vectors: each fetch is
         # a full link round trip, so everything rides one stacked array.
         from ..ops.fused import unpack_chunk
 
         small = [h for h in handles]
-        small += [pk for _, pk, _ in raw_chunks]
+        small += [pk for _, pk, _, _ in raw_chunks]
         fetched = (
             np.asarray(jax.numpy.concatenate([s.ravel() for s in small]))
             if small
@@ -438,14 +447,51 @@ class Scanner:
         for h in handles:
             counts += fetched[off : off + p_pad]
             off += p_pad
+
+        def make_verify_dev(drows, rowmap, c0):
+            """Device-side overflow recovery for one chunk: batch count
+            handles over ALL its full hot rows (fused.count_hot_batch);
+            None past the compaction cap (host fallback)."""
+
+            from ..ops import fused
+
+            n_batch, cap = fused.OVERFLOW_BATCH, fused.OVERFLOW_CAP
+
+            def verify(n_hot: int):
+                if n_hot > cap:
+                    return None
+                nb = -(-n_hot // n_batch)
+                return [
+                    count_hot_batch(
+                        drows, rowmap, dpat, dbound,
+                        jax.numpy.asarray(c0, dtype=np.int32),
+                        jax.numpy.asarray(b, dtype=np.int32),
+                        k=k, m_max=self.m_max, wf=wf, halo=halo,
+                        plens=plan.plens_filter,
+                        n_batch=n_batch, cap=cap,
+                        dp_dtype=self.config.dp_dtype,
+                        alphabet=self._dp_alphabet(),
+                        dp_impl=self.config.dp_impl,
+                        interpret=self.config.interpret,
+                    )
+                    for b in range(nb)
+                ]
+
+            return verify
+
         fchunks = []
-        for c0, pk, rowmap in raw_chunks:
+        for c0, pk, rowmap, drows in raw_chunks:
             ln = pk.shape[0]
             fcnt, vcnt, n_hot, clip = unpack_chunk(
                 fetched[off : off + ln], p_pad
             )
             off += ln
-            fchunks.append(FilterChunk(c0, fcnt, vcnt, n_hot, clip, rowmap))
+            fchunks.append(
+                FilterChunk(
+                    c0, fcnt, vcnt, n_hot, clip, rowmap,
+                    verify_dev=make_verify_dev(drows, rowmap, c0),
+                )
+            )
 
         if fchunks:
 
@@ -469,7 +515,7 @@ class Scanner:
 
             counts += finalize_filtration(
                 self, buf_reader(buf), plan, n, fchunks, rescan,
-                max_hot=MAX_HOT,
+                max_hot=max_hot,
             )
 
         counts[: self.scan_patterns.num_patterns] += self.tail_counts(
@@ -544,7 +590,11 @@ class Scanner:
         if self._resolve_backend() != "pallas":
             return
         from ..ops.filter_kernel import scan_filter_pallas
-        from ..ops.fused import filter_verify_chunk
+        from ..ops.fused import (
+            count_hot_batch,
+            filter_verify_chunk,
+            pick_max_hot,
+        )
         from ..ops.pallas_kernel import scan_folded_pallas_unrolled
         from .pipeline import make_plan
 
@@ -597,14 +647,16 @@ class Scanner:
                     plens=plan.plens_filter, interpret=self.config.interpret,
                 )
                 np.asarray(fcnt)
-            elif plan.fp1_conv:
+                return
+            max_hot = pick_max_hot(n_rows, wf, plan.plens_filter, k)
+            if plan.fp1_conv:
                 from ..ops.corr_engine import _group_rows
                 from ..ops.fused import filter_verify_chunk_conv
 
                 pk_np, pt_np, ow_np, fp1_stride = self._fp1_kernel(
                     plan.plens_filter
                 )
-                packed, _ = filter_verify_chunk_conv(
+                packed, rowmap = filter_verify_chunk_conv(
                     rows, jax.numpy.asarray(pk_np),
                     jax.numpy.asarray(pt_np), jax.numpy.asarray(ow_np),
                     jax.numpy.asarray(self._corr_alphabet()),
@@ -616,6 +668,7 @@ class Scanner:
                         wf + halo, len(self._corr_alphabet()), n_rows
                     ),
                     fp1_stride=fp1_stride,
+                    max_hot=max_hot,
                     dp_dtype=self.config.dp_dtype,
                     alphabet=self._dp_alphabet(),
                     dp_impl=self.config.dp_impl,
@@ -623,16 +676,33 @@ class Scanner:
                 )
                 np.asarray(packed)
             else:
-                packed, _ = filter_verify_chunk(
+                packed, rowmap = filter_verify_chunk(
                     rows, jax.numpy.asarray(self._pat_raw),
                     jax.numpy.asarray(self._pat), zero32, zero32,
                     k=k, m_max=self.m_max, wf=wf, halo=halo,
-                    plens=plan.plens_filter, dp_dtype=self.config.dp_dtype,
+                    plens=plan.plens_filter,
+                    max_hot=max_hot,
+                    dp_dtype=self.config.dp_dtype,
                     alphabet=self._dp_alphabet(),
                     dp_impl=self.config.dp_impl,
                     interpret=self.config.interpret,
                 )
                 np.asarray(packed)
+            # Overflow-recovery batch kernel (count_hot_batch): the batch
+            # index is traced, so this one execution compiles the program
+            # any overflowed scan will dispatch.
+            np.asarray(
+                count_hot_batch(
+                    rows, rowmap, jax.numpy.asarray(self._pat),
+                    zero32, zero32, zero32,
+                    k=k, m_max=self.m_max, wf=wf, halo=halo,
+                    plens=plan.plens_filter,
+                    dp_dtype=self.config.dp_dtype,
+                    alphabet=self._dp_alphabet(),
+                    dp_impl=self.config.dp_impl,
+                    interpret=self.config.interpret,
+                )
+            )
 
     def find(self, corpus: Bytes, limit: Optional[int] = None):
         """Match *positions*, not just counts — beyond the reference's API.

@@ -48,6 +48,32 @@ MAX_HOT = 64
 # every window masked and cannot be hot). 8 is pure safety margin.
 MAX_CLIP = 8
 
+# Hot-row bucket ceiling for pick_max_hot (rows). The gather output is
+# max_hot * (wf + halo) bytes (~8.5 MB at 1024 x 8320) and the nonzero
+# compaction is linear in R — both stay noise.
+MAX_HOT_CAP = 1024
+
+
+def pick_max_hot(n_rows: int, wf: int, plens, k: int) -> int:
+    """Size the on-device hot-row bucket to the chunk.
+
+    The fused program ALWAYS runs the banded verify over ``max_hot``
+    gathered rows (masked to the true hot count), so the bucket is an
+    always-on cost: budget it at ~1 op per scanned corpus byte — noise
+    next to phase 1's ~100+ ops/byte — and grow it with the chunk. A
+    256 MB chunk gets the full 1024 rows (one hot row per 256 KB of
+    corpus before overflow), while wide pattern tables, whose per-row
+    verify is expensive, stay at the floor. Round-1 sized this bucket at
+    a flat 64 rows; a 256 MB chunk with matches every ~1 MB then paid
+    the host-staged overflow recovery (a rowmap fetch + re-staging) on
+    EVERY scan — ~120 ms of a 202 ms call (bench/fp1_probe.py).
+    """
+    ops_row = wf * sum(5 * (2 * k + 1) * m for m in plens if m > 0)
+    budget_ops = n_rows * wf * 64  # ~64 verify ops per corpus window
+    cap = min(n_rows // 20, budget_ops // max(ops_row, 1))
+    cap = int(min(MAX_HOT_CAP, max(MAX_HOT, cap), max(n_rows, FOLD)))
+    return max(FOLD, (cap // FOLD) * FOLD)
+
 
 def _dp_mode_shim(inner):
     """Wrap a fused jit entry so ``alphabet``/``dp_impl`` are normalized
@@ -232,6 +258,80 @@ def filter_verify_chunk_conv(
     return _verify_phase2(
         corpus_rows, fcnt, rowmap, pat, bound, start,
         k=k, m_max=m_max, wf=wf, halo=halo, plens=plens, max_hot=max_hot,
+        dp_dtype=dp_dtype, alphabet=alphabet, dp_impl=dp_impl,
+        interpret=interpret,
+    )
+
+
+# Overflow batch geometry for count_hot_batch: rows re-verified per
+# dispatch, and the compaction ceiling (hot counts beyond OVERFLOW_CAP
+# fall back to the orchestrator's host/rescan recovery; the density check
+# usually routes such chunks to a full rescan first anyway).
+OVERFLOW_BATCH = 512
+OVERFLOW_CAP = 4096
+
+
+@_dp_mode_shim
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "m_max", "wf", "halo", "plens", "n_batch", "cap",
+        "dp_dtype", "alphabet", "dp_impl", "interpret",
+    ),
+)
+def count_hot_batch(
+    corpus_rows: jax.Array,  # (R, wf + halo) uint8 — device-resident staging
+    rowmap: jax.Array,  # (R, P) int32 — phase-1 row map (device-resident)
+    pat: jax.Array,  # (P, m_max + 2k) uint8 — k-padded pattern table
+    bound: jax.Array,  # () int32 — global window bound (exclusive)
+    start: jax.Array,  # () int32 — global window index of row 0
+    b: jax.Array,  # () int32 — overflow batch index (TRACED: one compile)
+    *,
+    k: int,
+    m_max: int,
+    wf: int,
+    halo: int,
+    plens: tuple,
+    n_batch: int = OVERFLOW_BATCH,
+    cap: int = OVERFLOW_CAP,
+    dp_dtype: str = "int32",
+    alphabet: tuple = (),  # static distinct pattern bytes (Myers DP key)
+    dp_impl: str = "auto",
+    interpret: bool = False,
+):
+    """Device-side overflow recovery: per-pattern counts over FULL hot
+    rows ``[b*n_batch, (b+1)*n_batch)`` of one chunk (hot rows in row
+    order, same ``hot & full`` criterion as :func:`filter_verify_chunk`).
+
+    When a chunk's hot count exceeds its fused ``max_hot`` bucket, the
+    orchestrator re-verifies ALL its full hot rows by dispatching
+    ``ceil(min(n_hot, cap)/n_batch)`` of these (batch index is a traced
+    scalar — one compile serves any batch) and summing — the staging rows
+    AND the row map stay device-resident, replacing round 2's recovery,
+    which fetched the (R, P) row map and re-staged every hot row from the
+    host (~120 ms of a 202 ms scan at 256 MB with one match per MB,
+    bench/fp1_probe.py). Rows past the true hot count gather zero-fill
+    and are masked by the window bound.
+    """
+    assert n_batch % FOLD == 0 and n_batch > 0
+    assert cap % n_batch == 0
+    r_rows = corpus_rows.shape[0]
+    hot = jnp.sum(rowmap, axis=1) > 0  # (R,)
+    row_start = (
+        start.astype(jnp.int32)
+        + jnp.arange(r_rows, dtype=jnp.int32) * wf
+    )
+    use = jnp.logical_and(hot, row_start + wf <= bound)
+    n_hot = jnp.sum(use.astype(jnp.int32))
+    idx_all = jnp.nonzero(use, size=cap, fill_value=r_rows)[0].astype(
+        jnp.int32
+    )
+    idx = jax.lax.dynamic_slice(idx_all, (b * n_batch,), (n_batch,))
+    stage = jnp.take(corpus_rows, idx, axis=0, mode="fill", fill_value=0)
+    vbound = jnp.clip(n_hot - b * n_batch, 0, n_batch) * wf
+    return scan_folded_pallas_unrolled(
+        stage, pat, vbound, jnp.int32(0),
+        k=k, m_max=m_max, wf=wf, halo=halo, plens=plens,
         dp_dtype=dp_dtype, alphabet=alphabet, dp_impl=dp_impl,
         interpret=interpret,
     )

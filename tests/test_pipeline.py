@@ -138,6 +138,113 @@ def test_overflow_recovery_sharded():
     assert sc.count(data).tolist() == count_matches(data, [pat], 1)
 
 
+def _concentrated_corpus():
+    """100 planted matches packed into the FIRST 64 KB chunk: that chunk
+    overflows its on-device hot-row bucket (~100 hot rows > max_hot=64 at
+    512 rows/chunk) while GLOBAL density stays sparse (100 << 234-row
+    threshold at n=600k) — the regime the device-side overflow recovery
+    (fused.count_hot_batch) exists for."""
+    n = 600_000
+    data = random_dna(n, seed=51)
+    pat = random_pattern(20, seed=52)
+    sites = list(range(700, 700 + 100 * 512, 512))  # rows 5..404 of chunk 0
+    plant(data, pat, sites, k=1, seed=53)
+    return data, pat
+
+
+def _overflow_scanner(pat):
+    return Scanner(
+        [pat],
+        1,
+        ApmConfig(
+            engine="filter", strategy="single", chunk_bytes=65536, **PALLAS
+        ),
+    )
+
+
+def test_overflow_device_recovery(monkeypatch):
+    """The preferred overflow recovery re-verifies hot rows ON DEVICE
+    (count_hot_batch over the resident staging + row map) — no host
+    re-staging, no verify_rows_host."""
+    from apm.ops import fused
+    from apm.models import pipeline
+
+    data, pat = _concentrated_corpus()
+    calls = {"dev": 0, "host": 0}
+    orig = fused.count_hot_batch
+    monkeypatch.setattr(
+        fused, "count_hot_batch",
+        lambda *a, **kw: (calls.__setitem__("dev", calls["dev"] + 1),
+                          orig(*a, **kw))[1],
+    )
+    orig_host = pipeline.verify_rows_host
+    monkeypatch.setattr(
+        pipeline, "verify_rows_host",
+        lambda *a, **kw: (calls.__setitem__("host", calls["host"] + 1),
+                          orig_host(*a, **kw))[1],
+    )
+    sc = _overflow_scanner(pat)
+    assert sc.count(data).tolist() == count_matches(data, [pat], 1)
+    assert calls["dev"] >= 1, "device-side overflow recovery not taken"
+    assert calls["host"] == 0, "host-staged fallback should not run"
+
+
+def test_overflow_device_recovery_multibatch(monkeypatch):
+    """n_hot > OVERFLOW_BATCH dispatches ceil(n_hot/n_batch) batch kernels
+    whose sums replace the chunk's vcnt."""
+    from apm.ops import fused
+
+    monkeypatch.setattr(fused, "OVERFLOW_BATCH", 32)  # 100 hot -> >=4 batches
+    data, pat = _concentrated_corpus()
+    calls = {"dev": 0}
+    orig = fused.count_hot_batch
+    monkeypatch.setattr(
+        fused, "count_hot_batch",
+        lambda *a, **kw: (calls.__setitem__("dev", calls["dev"] + 1),
+                          orig(*a, **kw))[1],
+    )
+    sc = _overflow_scanner(pat)
+    assert sc.count(data).tolist() == count_matches(data, [pat], 1)
+    assert calls["dev"] >= 4
+
+
+def test_overflow_cap_host_fallback(monkeypatch):
+    """Past the compaction cap the chunk falls back to the host-staged
+    recovery (verify_rows_host) — counts stay exact."""
+    from apm.ops import fused
+    from apm.models import pipeline
+
+    monkeypatch.setattr(fused, "OVERFLOW_BATCH", 32)
+    monkeypatch.setattr(fused, "OVERFLOW_CAP", 64)  # 100 hot rows > cap
+    data, pat = _concentrated_corpus()
+    calls = {"host": 0}
+    orig_host = pipeline.verify_rows_host
+    monkeypatch.setattr(
+        pipeline, "verify_rows_host",
+        lambda *a, **kw: (calls.__setitem__("host", calls["host"] + 1),
+                          orig_host(*a, **kw))[1],
+    )
+    sc = _overflow_scanner(pat)
+    assert sc.count(data).tolist() == count_matches(data, [pat], 1)
+    assert calls["host"] >= 1, "cap overflow must take the host fallback"
+
+
+def test_pick_max_hot_properties():
+    """Bucket sizing: FOLD-aligned, floored at the round-1 constant,
+    capped, and growing with the chunk."""
+    from apm.ops.fused import FOLD, MAX_HOT, MAX_HOT_CAP, pick_max_hot
+
+    plens = (20, 20, 0)
+    small = pick_max_hot(512, 128, plens, 1)
+    big = pick_max_hot(2 << 20, 128, plens, 1)
+    for v in (small, big):
+        assert v % FOLD == 0 and MAX_HOT <= v <= MAX_HOT_CAP
+    assert big >= small
+    assert big == MAX_HOT_CAP  # a 256 MB chunk earns the full bucket
+    # Expensive verify (long patterns, high k) stays at the floor.
+    assert pick_max_hot(512, 128, (120,) * 32, 8) == MAX_HOT
+
+
 def test_narrow_dtype_rejected_on_tpu_hardware():
     """dp_dtype int16/int8 compile only in interpret mode on v5e; the plan
     must reject them up front on TPU hardware rather than advertise dead
