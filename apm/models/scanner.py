@@ -84,6 +84,14 @@ class Scanner:
         # Device-resident staged-corpus cache: (fingerprint, wf, halo,
         # chunk_win, c0) -> device array of folded rows.
         self._dev_cache: dict = {}
+        # Optional SHARED host-side fold cache (same key -> folded np
+        # rows): set on pattern-shard sub-scanners so the corpus is
+        # folded once per chunk instead of once per device
+        # (count_patterns_over_devices replicates the corpus on every
+        # device; only the h2d transfer is inherently per-device).
+        self._fold_cache: Optional[dict] = None
+        # id -> (weakref, fp) memo for immutable buffers (_corpus_fp).
+        self._fp_memo: dict = {}
         self._prewarm_thread = None
         if self.config.prewarm_bytes:
             import threading
@@ -133,14 +141,25 @@ class Scanner:
 
     def _corr_kernel(self):
         """Shift-folded one-hot conv kernel for the corr engine (cached):
-        ``(kern, thr, stride)`` — pass ``stride`` to ``scan_corr_mxu``."""
+        ``(kern, thr, stride)`` — pass ``stride`` to ``scan_corr_mxu``.
+
+        Built over the REAL pattern rows only: pattern-table padding rows
+        would add all-zero kernel columns that still cost MXU MACs and
+        shrink the shift-fold stride (a 2-unique-pattern set padded to 8
+        rows paid 3.2x the MACs/byte; the probe's k = 0 corr ran 5.05
+        GB/s vs the piece conv's 7.4 on the same staging). The scan pads
+        its count vector back to ``p_pad`` (``p_out``).
+        """
         kk = getattr(self, "_corr_kern", None)
         if kk is None:
             from ..ops.corr_engine import build_kernel, pick_stride
 
-            stride = pick_stride(self._pat_raw.shape[0])
+            n_real = self.scan_patterns.num_patterns
+            stride = pick_stride(n_real)
             kern, thr = build_kernel(
-                self._pat_raw, self._plens_static, self._corr_alphabet(),
+                self._pat_raw[:n_real],
+                self._plens_static[:n_real],
+                self._corr_alphabet(),
                 stride=stride,
             )
             kk = self._corr_kern = (kern, thr, stride)
@@ -165,6 +184,53 @@ class Scanner:
         ) + (stride,)
         self._fp1_cache = (plens_filter, tables)
         return tables
+
+    @staticmethod
+    def _immutable(buf) -> bool:
+        """True when no numpy handle can mutate ``buf``'s bytes: every
+        ndarray in the base chain is non-writeable (a read-only *view* of
+        a writeable array does NOT qualify — writes through the base
+        would still change the content under the view)."""
+        obj = buf
+        while isinstance(obj, np.ndarray):
+            if obj.flags.writeable:
+                return False
+            obj = obj.base
+        return True
+
+    def _corpus_fp(self, buf: np.ndarray):
+        """Content fingerprint for the device-corpus cache, memoized for
+        immutable buffers.
+
+        The full-content hash runs at ~12 GB/s but still costs ~21 ms of
+        a 60 ms steady-state 256 MB scan (bench/fp1_probe.py item 7).
+        When the buffer is provably immutable (:meth:`_immutable` — e.g.
+        ``count_file``'s read-only memmap, or any array the caller
+        ``setflags(write=False)``-froze), the hash is computed once and
+        memoized by object identity; a weakref guards against a recycled
+        ``id`` ever aliasing a different array. Writable buffers are
+        re-hashed every call — an in-place mutation must change the key
+        (ADVICE r1 #2).
+        """
+        if not self.config.cache_corpus:
+            return None
+        if isinstance(buf, np.ndarray) and self._immutable(buf):
+            import weakref
+
+            key = id(buf)
+            ent = self._fp_memo.get(key)
+            if ent is not None and ent[0]() is buf:
+                return ent[1]
+            fp = self._fingerprint(buf)
+            try:
+                ref = weakref.ref(
+                    buf, lambda _, k=key: self._fp_memo.pop(k, None)
+                )
+                self._fp_memo[key] = (ref, fp)
+            except TypeError:
+                pass
+            return fp
+        return self._fingerprint(buf)
 
     @staticmethod
     def _fingerprint(buf: np.ndarray) -> tuple:
@@ -274,7 +340,15 @@ class Scanner:
         if fp is not None and key in self._dev_cache:
             self._dev_cache[key] = self._dev_cache.pop(key)  # mark recent
             return self._dev_cache[key]
-        drows = jax.numpy.asarray(fold_corpus(buf, c0, n_rows, wf, halo))
+        fc = self._fold_cache
+        rows = fc.get(key) if (fc is not None and fp is not None) else None
+        if rows is None:
+            rows = fold_corpus(buf, c0, n_rows, wf, halo)
+            if fc is not None and fp is not None:
+                fc[key] = rows
+                while len(fc) > 4:  # bound host memory to ~4 chunks
+                    fc.pop(next(iter(fc)))
+        drows = jax.numpy.asarray(rows)
         if fp is not None:
             budget = self._cache_byte_budget()
             if drows.nbytes <= budget:
@@ -342,9 +416,7 @@ class Scanner:
         dpat_raw = jax.numpy.asarray(self._pat_raw)
         dbound = jax.numpy.asarray(dev_bound, dtype=np.int32)
         if fp == "auto":
-            fp = (
-                self._fingerprint(buf) if self.config.cache_corpus else None
-            )
+            fp = self._corpus_fp(buf)
 
         if plan.use_corr:
             from ..ops.corr_engine import _group_rows, scan_corr_mxu
@@ -381,7 +453,7 @@ class Scanner:
                     scan_corr_mxu(
                         drows, dkern, dthr, dalph, dbound, dc0,
                         wf=wf, m_max=self.m_max, n_rows=n_rows,
-                        g_rows=g_rows, stride=corr_stride,
+                        g_rows=g_rows, stride=corr_stride, p_out=p_pad,
                     )
                 )
             if plan.any_dp:
@@ -523,13 +595,18 @@ class Scanner:
         )
         return counts
 
-    def _pattern_shard_scanners(self, groups) -> List["Scanner"]:
+    def _pattern_shard_scanners(
+        self, groups, block_windows: Optional[int] = None
+    ) -> List["Scanner"]:
         """Sub-scanners over pattern index groups (patterns_over_devices).
 
         Cached on the parent so repeated ``count()`` calls reuse each
         sub-scanner's device-resident corpus cache and compiled kernels.
+        ``block_windows`` pins every group to ONE block width so their
+        staging layouts (wf, halo) agree and the shared host fold cache
+        can serve all devices from a single ``fold_corpus`` pass.
         """
-        key = tuple(tuple(g) for g in groups)
+        key = (tuple(tuple(g) for g in groups), block_windows)
         if getattr(self, "_shard_scanners_key", None) == key:
             return self._shard_scanners
         from dataclasses import replace
@@ -541,11 +618,15 @@ class Scanner:
             strategy="single",
             dedup_patterns=False,
             prewarm_bytes=None,
+            block_windows=block_windows or self.config.block_windows,
         )
         subs = [
             Scanner([self.scan_patterns.raw[i] for i in g], self.k, cfg)
             for g in groups
         ]
+        fold_cache: dict = {}
+        for sub in subs:
+            sub._fold_cache = fold_cache
         self._shard_scanners_key = key
         self._shard_scanners = subs
         return subs
@@ -625,7 +706,7 @@ class Scanner:
                     g_rows=_group_rows(
                         wf + halo, len(self._corr_alphabet()), n_rows
                     ),
-                    stride=corr_stride,
+                    stride=corr_stride, p_out=self._pat.shape[0],
                 )
             )
         if plan.any_dp:
@@ -768,11 +849,7 @@ class Scanner:
                     round_up(min(self.config.chunk_bytes, dev_bound), w),
                 )
                 n_rows = chunk_win // wf
-                fp = (
-                    self._fingerprint(buf)
-                    if self.config.cache_corpus
-                    else None
-                )
+                fp = self._corpus_fp(buf)
                 kw_common = dict(
                     k=k, m_max=self.m_max, wf=wf, halo=halo, p_real=p_all,
                     dp_dtype=self.config.dp_dtype,
@@ -1027,10 +1104,17 @@ class Scanner:
         serving analog the reference lacks entirely (its unit of work is
         one process launch per database, ``src/main.c:30-60``).
 
-        Batch mode always uses the banded engine — filtration's win is on
-        large corpora, which belong in :meth:`count`.
+        Engine: eligible k = 0 batches route through the MXU correlation
+        engine (``apm.ops.corr_engine.scan_corr_batch``, same per-block
+        contract) — batch serving is exactly the many-pattern regime
+        where the banded kernel is weakest (155 MB/s at P = 64 vs corr's
+        2.2 GB/s, DESIGN.md §8; the reference's analog is one CUDA thread
+        per pattern, ``src/database_over_ranks.cu:26-29``). Everything
+        else uses the banded kernel; filtration stays out of batch mode —
+        its win is on large corpora, which belong in :meth:`count`.
         """
         from ..ops.common import fold_corpus
+        from ..ops.corr_engine import corr_eligible
         from ..ops.pallas_kernel import _DTYPE_FOLD, scan_folded_pallas_batch
 
         bufs = [as_u8(c) for c in corpora]
@@ -1070,6 +1154,20 @@ class Scanner:
             for blk in range((db + w - 1) // w if db > 0 else 0):
                 items.append((b, blk, db))
 
+        # k = 0 batches with a conv-sized alphabet ride the MXU; the
+        # "auto" crossover keeps tiny short-pattern sets on the banded
+        # kernel, where the conv's fixed encode cost dominates.
+        use_corr = (
+            k == 0
+            and self.config.engine in ("auto", "corr")
+            and corr_eligible(
+                self._plens_static,
+                len(self._corr_alphabet()),
+                self.m_max,
+                0,
+                auto=self.config.engine == "auto",
+            )
+        )
         uniq = np.zeros((B, p_pad), dtype=np.int64)
         if items:
             # One compiled shape: groups padded to a fixed block bucket.
@@ -1091,26 +1189,51 @@ class Scanner:
             # the chunk_bytes staging bound are never exceeded.
             gmax = max(8, 1 << (gmax.bit_length() - 1))
             dpat = jax.numpy.asarray(self._pat)
+            if use_corr:
+                from ..ops.corr_engine import _group_rows, scan_corr_batch
+
+                kern_np, thr_np, corr_stride = self._corr_kernel()
+                dkern = jax.numpy.asarray(kern_np)
+                dthr = jax.numpy.asarray(thr_np)
+                dalph = jax.numpy.asarray(self._corr_alphabet())
+                corr_g_rows = _group_rows(
+                    wf + halo, len(self._corr_alphabet()), gmax * fold
+                )
+                row_in_blk = np.arange(fold, dtype=np.int64) * wf
             handles = []  # (group items, device counts handle)
             for g0 in range(0, len(items), gmax):
                 group = items[g0 : g0 + gmax]
                 rows = np.zeros((gmax * fold, wf + halo), dtype=np.uint8)
                 meta = np.zeros((gmax, 2), dtype=np.int32)
+                limits = np.zeros((gmax * fold,), dtype=np.int32)
                 for slot, (b, blk, db) in enumerate(group):
                     rows[slot * fold : (slot + 1) * fold] = fold_corpus(
                         bufs[b], blk * w, fold, wf, halo
                     )
                     meta[slot, 0] = db  # bound (virtual base 0 per corpus)
                     meta[slot, 1] = blk * w  # this block's start
-                cnts = scan_folded_pallas_batch(
-                    jax.numpy.asarray(rows), dpat, jax.numpy.asarray(meta),
-                    k=k, m_max=self.m_max, wf=wf, halo=halo,
-                    plens=self._plens_static,
-                    dp_dtype=self.config.dp_dtype,
-                    alphabet=self._dp_alphabet(),
-                    dp_impl=self.config.dp_impl,
-                    interpret=self.config.interpret,
-                )
+                    if use_corr:
+                        limits[slot * fold : (slot + 1) * fold] = np.clip(
+                            db - blk * w - row_in_blk, 0, wf
+                        )
+                if use_corr:
+                    cnts = scan_corr_batch(
+                        jax.numpy.asarray(rows), dkern, dthr, dalph,
+                        jax.numpy.asarray(limits),
+                        wf=wf, fold=fold, g_rows=corr_g_rows,
+                        stride=corr_stride, p_out=p_pad,
+                    )
+                else:
+                    cnts = scan_folded_pallas_batch(
+                        jax.numpy.asarray(rows), dpat,
+                        jax.numpy.asarray(meta),
+                        k=k, m_max=self.m_max, wf=wf, halo=halo,
+                        plens=self._plens_static,
+                        dp_dtype=self.config.dp_dtype,
+                        alphabet=self._dp_alphabet(),
+                        dp_impl=self.config.dp_impl,
+                        interpret=self.config.interpret,
+                    )
                 handles.append((group, cnts))
             # One fetch for every group's counts (a fetch is a link RT).
             allc = np.asarray(

@@ -200,7 +200,8 @@ def _group_rows(L: int, C: int, n_rows: int) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("wf", "m_max", "n_rows", "g_rows", "stride")
+    jax.jit,
+    static_argnames=("wf", "m_max", "n_rows", "g_rows", "stride", "p_out"),
 )
 def scan_corr_mxu(
     rows: jax.Array,  # (R, wf + halo) uint8 — folded staged corpus rows
@@ -215,8 +216,12 @@ def scan_corr_mxu(
     n_rows: int,  # rows that carry real windows (R may be group-padded)
     g_rows: int,  # rows per mapped group (static)
     stride: int = 1,  # shift-fold stride S (see pick_stride)
+    p_out: int = 0,  # zero-pad the count vector to this length (pattern
+    # tables are padded to a sublane multiple but the conv kernel carries
+    # REAL patterns only — all-zero padding columns would still cost MACs)
 ):
-    """(P,) int32 exact-match counts for this chunk's device-owned windows.
+    """(max(P, p_out),) int32 exact-match counts for this chunk's
+    device-owned windows.
 
     Same ownership contract as the Pallas kernels: row ``r`` owns global
     windows ``[start + r*wf, start + (r+1)*wf)`` intersected with
@@ -271,7 +276,84 @@ def scan_corr_mxu(
         )
 
     parts = jax.lax.map(one_group, (grouped, jnp.arange(G, dtype=jnp.int32)))
-    return jnp.sum(parts, axis=0, dtype=jnp.int32)
+    counts = jnp.sum(parts, axis=0, dtype=jnp.int32)
+    if p_out > counts.shape[0]:
+        counts = jnp.pad(counts, (0, p_out - counts.shape[0]))
+    return counts
+
+
+@functools.partial(
+    jax.jit, static_argnames=("wf", "fold", "g_rows", "stride", "p_out")
+)
+def scan_corr_batch(
+    rows: jax.Array,  # (R, wf + halo) uint8 — folded rows, MANY corpora
+    kern: jax.Array,  # (m_max + S - 1, C, P*S) bf16 — shift-folded kernel
+    thr: jax.Array,  # (P*S,) f32 — per-channel match thresholds (= m_p)
+    alph: jax.Array,  # (C,) uint8 — pattern alphabet
+    limits: jax.Array,  # (R,) int32 — valid windows per row (precomputed)
+    *,
+    wf: int,
+    fold: int,  # rows per batch block (R % fold == 0)
+    g_rows: int,  # rows per mapped group (static)
+    stride: int = 1,  # shift-fold stride S (see pick_stride)
+    p_out: int = 0,  # zero-pad the pattern axis to this length
+):
+    """Batched k = 0 correlation scan: per-BLOCK counts ``(R//fold,
+    max(P, p_out)) int32`` — the same contract as
+    ``apm.ops.pallas_kernel.scan_folded_pallas_batch``, so
+    ``Scanner.count_batch`` can route eligible k = 0 batches through the
+    MXU (the reference's many-pattern serving shape is one CUDA thread
+    per pattern, ``src/database_over_ranks.cu:26-29``; here extra
+    patterns ride idle MXU columns — DESIGN.md §8).
+
+    Window ownership arrives PRE-RESOLVED as ``limits[r]`` (the caller
+    owns the virtual-window-space bookkeeping: ``clip(bound - start -
+    i*wf, 0, wf)`` per row, 0 for padding rows), so the scan itself has
+    no notion of corpora — it counts ``match & (col < limit)`` per row
+    and folds rows back to blocks.
+    """
+    R, L = rows.shape
+    S = stride
+    assert wf % S == 0 and R % fold == 0, (wf, S, R, fold)
+    G = -(-R // g_rows)
+    pad = G * g_rows - R
+    if pad:
+        rows = jnp.pad(rows, ((0, pad), (0, 0)))
+        limits = jnp.pad(limits, (0, pad))
+    grouped = rows.reshape(G, g_rows, L)
+    lim_g = limits.reshape(G, g_rows)
+    col = jnp.arange(wf, dtype=jnp.int32)[None, :]
+
+    def one_group(args):
+        rg, lim = args  # (g_rows, L) uint8, (g_rows,) int32
+        t = (rg[:, :, None] == alph[None, None, :]).astype(jnp.bfloat16)
+        corr = jax.lax.conv_general_dilated(
+            t,
+            kern,
+            window_strides=(S,),
+            padding="VALID",
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            preferred_element_type=jnp.float32,
+        )
+        match = corr[:, : wf // S, :] >= thr[None, None, :]
+        if S > 1:  # block jb, channel s*P+p  ->  window jb*S + s
+            match = match.reshape(g_rows, wf // S, S, -1).reshape(
+                g_rows, wf, -1
+            )
+        return jnp.sum(
+            match & (col < lim[:, None])[:, :, None],
+            axis=1,
+            dtype=jnp.int32,
+        )  # (g_rows, P)
+
+    parts = jax.lax.map(one_group, (grouped, lim_g))  # (G, g_rows, P)
+    per_row = parts.reshape(G * g_rows, -1)[:R]
+    counts = jnp.sum(
+        per_row.reshape(R // fold, fold, -1), axis=1, dtype=jnp.int32
+    )
+    if p_out > counts.shape[1]:
+        counts = jnp.pad(counts, ((0, 0), (0, p_out - counts.shape[1])))
+    return counts
 
 
 # ---------------------------------------------------------------------------

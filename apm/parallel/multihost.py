@@ -155,7 +155,7 @@ def count_multihost(scanner: "Scanner", path: str) -> np.ndarray:
                 g_rows=_group_rows(
                     wf + halo, len(scanner._corr_alphabet()), rows_per
                 ),
-                stride=corr_stride,
+                stride=corr_stride, p_out=scanner._pat.shape[0],
             )
             counts += np.asarray(dev_counts)
         if plan.any_dp:

@@ -11,9 +11,23 @@ throughput on its own headline workload: 1,591,301 bytes in 3.89 s on
 3 nodes x (6 ranks x 8 OMP threads) + 1 Pascal GPU per rank
 (experiments.xlsx "With GPU" rows 10-12) = ~0.409 MB/s.
 
-Extra fields report the latency-bound small-corpus run (the reference's
-literal 1.6 MB workload), k = 1 steady state with planted matches (the
-fused filtration+verification path end to end), and a 512 MB k = 0 run.
+Variance discipline (VERDICT r2 weak #2): every steady-state metric is
+min/median/max of >= 5 reps — the headline ``value`` is the MEDIAN (robust
+to tunnel hiccups), with ``*_min``/``*_max`` spread fields so a real
+same-session kernel regression is distinguishable from link noise — plus a
+``session`` tag (UTC timestamp + platform) identifying the measurement
+session for cross-round comparisons.
+
+MFU/roofline accounting (VERDICT r2 "do this" #2): each metric carries
+``mfu_vpu`` / ``mfu_mxu`` / ``hbm_frac`` / ``roof_mb_per_s`` from
+``apm.utils.roofline`` — the measured fraction of the v5e's peaks under
+each engine's ops/byte model, the reference's experiments.xlsx
+kernel-accounting discipline made explicit.
+
+Extra metrics: the latency-bound small-corpus run (the reference's literal
+1.6 MB workload), k = 1 / k = 2 steady state with planted matches (the
+fused conv-filtration path end to end), many-pattern serving at k = 0
+(the MXU corr engine), and a 512 MB k = 0 run.
 
 Prints exactly one JSON line:
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
@@ -29,13 +43,36 @@ import numpy as np
 REF_BEST_MBPS = 1_591_301 / 3.89 / 1e6  # ~0.409 MB/s
 
 
-def _time_best(fn, reps):
+def _time_stats(fn, reps=5):
+    """{"min","med","max"} wall seconds over ``reps`` timed calls."""
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
         fn()
         ts.append(time.perf_counter() - t0)
-    return min(ts)
+    ts.sort()
+    return {
+        "min": ts[0],
+        "med": ts[len(ts) // 2] if reps % 2 else (
+            ts[reps // 2 - 1] + ts[reps // 2]
+        ) / 2,
+        "max": ts[-1],
+    }
+
+
+def _metric(extras, name, n_bytes, stats, scanner=None):
+    """Record median MB/s + spread + MFU fields for one workload."""
+    from apm.utils.roofline import mfu_fields
+
+    med = n_bytes / stats["med"] / 1e6
+    extras[f"{name}_mb_per_s"] = round(med, 1)
+    extras[f"{name}_mb_per_s_min"] = round(n_bytes / stats["max"] / 1e6, 1)
+    extras[f"{name}_mb_per_s_max"] = round(n_bytes / stats["min"] / 1e6, 1)
+    if scanner is not None:
+        f = mfu_fields(scanner, n_bytes, med * 1e6)
+        if f:
+            extras[f"{name}_roofline"] = f
+    return med
 
 
 def main() -> int:
@@ -58,9 +95,14 @@ def main() -> int:
         }))
         return 1
     ref_corpus = apm.read_input_file(big)
+    ref_corpus.setflags(write=False)  # immutable: fingerprint memoized
     pats = [open(os.path.join(dna, "line_non_existent.fa"), "rb").read()] + [
         open(os.path.join(dna, "line_20783.fa"), "rb").read()
     ] * 5
+
+    session = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()) + (
+        "/" + jax.devices()[0].platform
+    )
 
     # Conformance gate on the reference workload before any timing.
     sc_small = apm.Scanner(pats, k=0)
@@ -74,37 +116,46 @@ def main() -> int:
         }))
         return 1
 
+    extras = {"session": session}
+
     # PRIMARY: 64 MB steady state, k=0, same pattern set.
     rng = np.random.default_rng(0)
     alpha = np.frombuffer(b"ACGT\n", dtype=np.uint8)
     syn = alpha[rng.integers(0, 5, size=64 << 20)]
+    syn.setflags(write=False)
     sc64 = apm.Scanner(pats, k=0)
     sc64.count(syn)  # compile + stage
-    mbps64 = len(syn) / _time_best(lambda: sc64.count(syn), 3) / 1e6
+    mbps64 = _metric(
+        extras, "steady_state_64mb_6pat_k0", len(syn),
+        _time_stats(lambda: sc64.count(syn), 5), sc64,
+    )
 
-    extras = {}
     # Latency line item: the reference's literal 1.6 MB workload.
     try:
-        best = _time_best(lambda: sc_small.count(ref_corpus), 5)
-        extras["latency_bound_1p6mb_k0_mb_per_s"] = round(
-            len(ref_corpus) / best / 1e6, 1
+        _metric(
+            extras, "latency_bound_1p6mb_k0", len(ref_corpus),
+            _time_stats(lambda: sc_small.count(ref_corpus), 5),
         )
     except Exception:
         pass
-    # k=1 with REAL matches present: planted fuzzy occurrences exercise
-    # phase-1 + on-device verification end to end (VERDICT r1 #2 target:
-    # >= 1 GB/s here).
+    # k=1 / k=2 with REAL matches present: planted fuzzy occurrences
+    # exercise conv phase 1 + on-device verification end to end on a
+    # 256 MB corpus (VERDICT r2 "do this" #1 target: >= 2 GB/s).
     try:
         from apm.utils.corpus import plant
 
-        syn_k1 = syn.copy()
-        plant(syn_k1, np.frombuffer(pats[1], np.uint8),
-              list(range(5000, 60 << 20, 1 << 20)), k=1, seed=7)
-        sc_k1 = apm.Scanner(pats, k=1)
-        sc_k1.count(syn_k1)
-        extras["steady_state_64mb_k1_planted_mb_per_s"] = round(
-            len(syn_k1) / _time_best(lambda: sc_k1.count(syn_k1), 3) / 1e6, 1
-        )
+        syn256 = alpha[rng.integers(0, 5, size=256 << 20)]
+        for kk in (1, 2):
+            syn_k = syn256.copy()
+            plant(syn_k, np.frombuffer(pats[1], np.uint8),
+                  list(range(5000, 250 << 20, 1 << 20)), k=kk, seed=7)
+            syn_k.setflags(write=False)
+            sc_k = apm.Scanner(pats, k=kk)
+            sc_k.count(syn_k)
+            _metric(
+                extras, f"steady_state_256mb_k{kk}_planted", len(syn_k),
+                _time_stats(lambda: sc_k.count(syn_k), 5), sc_k,
+            )
     except Exception:
         pass
     # Many-pattern serving: 64 distinct 50-char patterns at k = 0 routes
@@ -115,22 +166,24 @@ def main() -> int:
         pats64 = [
             bytes(alpha[rng.integers(0, 4, size=50)]) for _ in range(64)
         ]
-        syn256 = alpha[rng.integers(0, 5, size=256 << 20)]
+        syn256.setflags(write=False)
         sc_p64 = apm.Scanner(pats64, 0)
         sc_p64.count(syn256)
-        extras["steady_state_256mb_64pat_k0_mb_per_s"] = round(
-            len(syn256) / _time_best(lambda: sc_p64.count(syn256), 2) / 1e6,
-            1,
+        _metric(
+            extras, "steady_state_256mb_64pat_k0", len(syn256),
+            _time_stats(lambda: sc_p64.count(syn256), 5), sc_p64,
         )
     except Exception:
         pass
     # Large-corpus steady state (512 MB, two chunks).
     try:
         syn512 = alpha[rng.integers(0, 5, size=512 << 20)]
+        syn512.setflags(write=False)
         sc512 = apm.Scanner(pats, k=0)
         sc512.count(syn512)
-        extras["steady_state_512mb_k0_mb_per_s"] = round(
-            len(syn512) / _time_best(lambda: sc512.count(syn512), 2) / 1e6, 1
+        _metric(
+            extras, "steady_state_512mb_k0", len(syn512),
+            _time_stats(lambda: sc512.count(syn512), 5), sc512,
         )
     except Exception:
         pass

@@ -35,6 +35,33 @@ def test_count_batch_matches_oracle(k):
         assert got[b].tolist() == sc.count(corpus).tolist()
 
 
+@pytest.mark.parametrize("engine", ["auto", "corr", "dp"])
+def test_count_batch_corr_engine(engine):
+    """k = 0 batches route the MXU correlation engine (auto/corr) and the
+    counts stay oracle-exact and engine-invariant."""
+    from apm.utils.corpus import random_pattern
+
+    pats = [random_pattern(50, seed=440 + i) for i in range(9)]
+    pats.append(pats[0])  # duplicate exercises dedup
+    corpora = [
+        random_dna(700, seed=450),
+        random_dna(9000, seed=451).copy(),  # several blocks
+        random_dna(30, seed=452),  # tail-only
+        np.zeros((0,), np.uint8),
+        random_dna(4096, seed=453).copy(),
+    ]
+    # plant exact occurrences, including one straddling a block boundary
+    corpora[1][100:150] = np.asarray(pats[0])
+    corpora[1][1020:1070] = np.asarray(pats[3])
+    corpora[4][4040:4090] = np.asarray(pats[5])
+    sc = Scanner(pats, 0, ApmConfig(engine=engine, **PALLAS))
+    got = sc.count_batch(corpora)
+    for b, corpus in enumerate(corpora):
+        want = count_matches(corpus, pats, 0)
+        assert got[b].tolist() == want, (engine, b, got[b].tolist(), want)
+        assert got[b].tolist() == sc.count(corpus).tolist()
+
+
 def test_count_batch_multiple_groups():
     """More blocks than one group bucket: grouping must not change counts."""
     pats = [b"ACGTACGTAC"]

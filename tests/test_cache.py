@@ -63,6 +63,52 @@ def test_fingerprint_full_content():
     assert Scanner._fingerprint(buf.copy()) == fp1
 
 
+def test_corpus_fp_memoizes_immutable_only():
+    """Immutable buffers hash once (memoized by identity); writable
+    buffers re-hash every call; read-only VIEWS of writable bases do NOT
+    memoize (the base can still mutate the bytes)."""
+    sc = Scanner([b"ACGTACGTAC"], 0, ApmConfig(**PALLAS))
+    frozen = random_dna(20_000, seed=11)
+    frozen.setflags(write=False)
+    fp1 = sc._corpus_fp(frozen)
+    assert fp1 == sc._corpus_fp(frozen)
+    assert id(frozen) in sc._fp_memo
+    # writable: never memoized
+    mut = random_dna(20_000, seed=12)
+    sc._corpus_fp(mut)
+    assert id(mut) not in sc._fp_memo
+    # read-only view of a writable base: not immutable
+    view = mut[:]
+    view.setflags(write=False)
+    assert not Scanner._immutable(view)
+    sc._corpus_fp(view)
+    assert id(view) not in sc._fp_memo
+    # memmap / frombuffer style arrays qualify
+    fb = np.frombuffer(bytes(random_dna(1000, seed=13)), dtype=np.uint8)
+    assert Scanner._immutable(fb)
+    # dead arrays are evicted via the weakref callback
+    import gc
+
+    key = id(frozen)
+    del frozen, fp1
+    gc.collect()
+    assert key not in sc._fp_memo
+
+
+def test_count_correct_after_freezing_and_new_buffer():
+    """End-to-end: scans on a frozen buffer and a same-shape successor
+    (possibly recycling the id) stay content-correct."""
+    pat = b"TTTTTTTTTTGG"
+    sc = Scanner([pat], 0, ApmConfig(engine="filter", **PALLAS))
+    a = random_dna(30_000, seed=14).copy()
+    a[100 : 100 + len(pat)] = np.frombuffer(pat, np.uint8)
+    a.setflags(write=False)
+    assert sc.count(a).tolist() == count_matches(a, [pat], 0)
+    b = random_dna(30_000, seed=15)
+    b.setflags(write=False)
+    assert sc.count(b).tolist() == count_matches(b, [pat], 0)
+
+
 def test_as_u8_multi_element_string_array_rejected():
     from apm.utils.oracle import as_u8
 
