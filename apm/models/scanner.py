@@ -90,6 +90,12 @@ class Scanner:
         # (count_patterns_over_devices replicates the corpus on every
         # device; only the h2d transfer is inherently per-device).
         self._fold_cache: Optional[dict] = None
+        import threading
+
+        # Guards _fold_cache insert/evict; replaced by the PARENT's lock
+        # when a shared fold cache is attached (_pattern_shard_scanners),
+        # so all sub-scanners serialize on one lock.
+        self._fold_cache_lock = threading.Lock()
         # id -> (weakref, fp) memo for immutable buffers (_corpus_fp).
         self._fp_memo: dict = {}
         self._prewarm_thread = None
@@ -219,18 +225,40 @@ class Scanner:
 
             key = id(buf)
             ent = self._fp_memo.get(key)
-            if ent is not None and ent[0]() is buf:
+            if ent is not None and ent[0]() is buf and (
+                ent[2] == self._fp_sample(buf)
+            ):
+                # Sample check: an array thawed with setflags(write=True),
+                # mutated, and re-frozen keeps its id but (almost surely)
+                # not its boundary/stride sample — recompute on mismatch
+                # instead of serving a stale fingerprint (ADVICE r3 #2).
                 return ent[1]
             fp = self._fingerprint(buf)
             try:
                 ref = weakref.ref(
                     buf, lambda _, k=key: self._fp_memo.pop(k, None)
                 )
-                self._fp_memo[key] = (ref, fp)
+                self._fp_memo[key] = (ref, fp, self._fp_sample(buf))
             except TypeError:
                 pass
             return fp
         return self._fingerprint(buf)
+
+    @staticmethod
+    def _fp_sample(buf: np.ndarray) -> tuple:
+        """Cheap content sample validating `_fp_memo` hits: length plus
+        64 bytes at each of 9 evenly spaced offsets (O(1), no full pass).
+        Not a substitute for the full hash — just enough that in-place
+        mutation of a re-frozen buffer is caught with high probability."""
+        n = buf.size
+        if n == 0:
+            return (0,)
+        flat = buf.reshape(-1)
+        parts = [n]
+        for i in range(9):
+            off = (n - 1) * i // 8
+            parts.append(flat[off:off + 64].tobytes())
+        return tuple(parts)
 
     @staticmethod
     def _fingerprint(buf: np.ndarray) -> tuple:
@@ -345,9 +373,16 @@ class Scanner:
         if rows is None:
             rows = fold_corpus(buf, c0, n_rows, wf, halo)
             if fc is not None and fp is not None:
-                fc[key] = rows
-                while len(fc) > 4:  # bound host memory to ~4 chunks
-                    fc.pop(next(iter(fc)))
+                # Shared across pattern-shard sub-scanners running in a
+                # ThreadPoolExecutor: insert + evict under the shared lock
+                # so two threads can't pop the same key (ADVICE r3 #1).
+                with self._fold_cache_lock:
+                    fc[key] = rows
+                    while len(fc) > 4:  # bound host memory to ~4 chunks
+                        try:
+                            fc.pop(next(iter(fc)), None)
+                        except StopIteration:  # pragma: no cover
+                            break
         drows = jax.numpy.asarray(rows)
         if fp is not None:
             budget = self._cache_byte_budget()
@@ -627,6 +662,7 @@ class Scanner:
         fold_cache: dict = {}
         for sub in subs:
             sub._fold_cache = fold_cache
+            sub._fold_cache_lock = self._fold_cache_lock
         self._shard_scanners_key = key
         self._shard_scanners = subs
         return subs
@@ -1168,6 +1204,17 @@ class Scanner:
                 auto=self.config.engine == "auto",
             )
         )
+        if self.config.engine == "corr" and not use_corr:
+            # Same forced-engine contract as count() (pipeline.make_plan):
+            # an ineligible scan raises instead of silently routing to the
+            # banded kernel (ADVICE r3 #4).
+            from ..ops.corr_engine import ALPHABET_MAX, M_MAX_CORR
+
+            raise ValueError(
+                "engine='corr' requires the pallas backend, k == 0, a "
+                f"pattern alphabet of <= {ALPHABET_MAX} distinct bytes, "
+                f"and m_max <= {M_MAX_CORR}"
+            )
         uniq = np.zeros((B, p_pad), dtype=np.int64)
         if items:
             # One compiled shape: groups padded to a fixed block bucket.

@@ -55,6 +55,16 @@ def as_u8(data: Bytes) -> np.ndarray:
             if isinstance(item, str):
                 item = item.encode("latin-1")
             return np.frombuffer(item, dtype=np.uint8)
+        if (
+            data.dtype == np.uint8
+            and data.ndim == 1
+            and data.flags.c_contiguous
+        ):
+            # Identity-preserving fast path: callers never mutate the
+            # result, and Scanner._corpus_fp memoizes fingerprints by
+            # object id — a fresh ravel() view per call would defeat
+            # that memo (it dies with the view).
+            return data
         return np.ascontiguousarray(data, dtype=np.uint8).ravel()
     if isinstance(data, str):
         data = data.encode("latin-1")

@@ -11,12 +11,28 @@ throughput on its own headline workload: 1,591,301 bytes in 3.89 s on
 3 nodes x (6 ranks x 8 OMP threads) + 1 Pascal GPU per rank
 (experiments.xlsx "With GPU" rows 10-12) = ~0.409 MB/s.
 
+Survivability (VERDICT r3 "do this" #1 — round 3's capture was rc=124 /
+parsed:null): the driver records the LAST JSON line on stdout, and TPU
+compiles here take 10 s-8 min with a flaky server-side cache, so this
+script is structured to be un-killable:
+
+  1. The PRIMARY metric runs first, with exactly ONE fresh compile and a
+     zero-extra-compile exact conformance gate (planted occurrences at
+     k = 0 checked against a host substring count), and its JSON line is
+     printed and flushed IMMEDIATELY — a later timeout cannot erase it.
+  2. Every extra workload is guarded by an internal wall-clock deadline
+     (env ``APM_BENCH_DEADLINE_S``, default 900 s): when the budget runs
+     low the remaining extras are skipped (recorded in ``skipped``) and
+     the final line is emitted early.
+  3. Per-phase elapsed is logged to stderr so the next timeout is
+     diagnosable from the driver's tail.
+  4. The full line (primary + extras) is re-emitted at the end; a
+     mid-run kill leaves the primary line as the last JSON on stdout.
+
 Variance discipline (VERDICT r2 weak #2): every steady-state metric is
 min/median/max of >= 5 reps — the headline ``value`` is the MEDIAN (robust
-to tunnel hiccups), with ``*_min``/``*_max`` spread fields so a real
-same-session kernel regression is distinguishable from link noise — plus a
-``session`` tag (UTC timestamp + platform) identifying the measurement
-session for cross-round comparisons.
+to tunnel hiccups) with ``*_min``/``*_max`` spread fields — plus a
+``session`` tag (UTC timestamp + platform) for cross-round comparisons.
 
 MFU/roofline accounting (VERDICT r2 "do this" #2): each metric carries
 ``mfu_vpu`` / ``mfu_mxu`` / ``hbm_frac`` / ``roof_mb_per_s`` from
@@ -24,13 +40,11 @@ MFU/roofline accounting (VERDICT r2 "do this" #2): each metric carries
 each engine's ops/byte model, the reference's experiments.xlsx
 kernel-accounting discipline made explicit.
 
-Extra metrics: the latency-bound small-corpus run (the reference's literal
-1.6 MB workload), k = 1 / k = 2 steady state with planted matches (the
+Extra metrics (deadline-permitting): the latency-bound small-corpus run
+(the reference's literal 1.6 MB workload, plus its byte-contract
+conformance gate), k = 1 / k = 2 steady state with planted matches (the
 fused conv-filtration path end to end), many-pattern serving at k = 0
 (the MXU corr engine), and a 512 MB k = 0 run.
-
-Prints exactly one JSON line:
-    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 """
 
 import json
@@ -41,6 +55,31 @@ import time
 import numpy as np
 
 REF_BEST_MBPS = 1_591_301 / 3.89 / 1e6  # ~0.409 MB/s
+T0 = time.perf_counter()
+DEADLINE_S = float(os.environ.get("APM_BENCH_DEADLINE_S", "900"))
+# Minimum remaining budget to START an extra workload (fresh TPU compiles
+# routinely take minutes; an extra started with less than this would
+# likely straddle the driver's own timeout).
+EXTRA_MARGIN_S = float(os.environ.get("APM_BENCH_EXTRA_MARGIN_S", "120"))
+PRIMARY = "steady_state_64mb_6pat_k0"
+# Corpus sizes in MB — overridable ONLY for fast smoke runs of the bench
+# flow itself (tests / `timeout 300 python bench.py` rehearsals); the
+# recorded metrics always use the defaults.
+PRIM_MB = int(os.environ.get("APM_BENCH_PRIM_MB", "64"))
+BIG_MB = int(os.environ.get("APM_BENCH_BIG_MB", "256"))
+
+
+def _log(msg: str) -> None:
+    print(f"[bench +{time.perf_counter() - T0:7.1f}s] {msg}",
+          file=sys.stderr, flush=True)
+
+
+def _left() -> float:
+    return DEADLINE_S - (time.perf_counter() - T0)
+
+
+def _emit(payload: dict) -> None:
+    print(json.dumps(payload), flush=True)
 
 
 def _time_stats(fn, reps=5):
@@ -72,7 +111,24 @@ def _metric(extras, name, n_bytes, stats, scanner=None):
         f = mfu_fields(scanner, n_bytes, med * 1e6)
         if f:
             extras[f"{name}_roofline"] = f
+    _log(f"{name}: {extras[f'{name}_mb_per_s']} MB/s "
+         f"[{extras[f'{name}_mb_per_s_min']}, "
+         f"{extras[f'{name}_mb_per_s_max']}]")
     return med
+
+
+def _host_exact_count(corpus: bytes, pat: bytes) -> int:
+    """Overlapping substring occurrences — the exact k=0 window count.
+
+    At k = 0 no EOF-truncated window can match (a truncated window's
+    distance to the pattern is at least the truncation length >= 1), so
+    the reference semantics reduce to plain overlapping substring count.
+    """
+    n, i = 0, corpus.find(pat)
+    while i != -1:
+        n += 1
+        i = corpus.find(pat, i + 1)
+    return n
 
 
 def main() -> int:
@@ -86,13 +142,16 @@ def main() -> int:
 
     import apm
 
+    _log(f"jax up, platform={jax.devices()[0].platform}, "
+         f"deadline={DEADLINE_S:.0f}s")
+
     dna = "/root/reference/dna"
     big = os.path.join(dna, "small_chrY_bigger.fa")
     if not os.path.exists(big):
-        print(json.dumps({
-            "metric": "steady_state_64mb_6pat_k0", "value": 0.0,
+        _emit({
+            "metric": PRIMARY, "value": 0.0,
             "unit": "MB/s", "vs_baseline": 0.0, "error": "corpus missing",
-        }))
+        })
         return 1
     ref_corpus = apm.read_input_file(big)
     ref_corpus.setflags(write=False)  # immutable: fingerprint memoized
@@ -103,98 +162,161 @@ def main() -> int:
     session = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()) + (
         "/" + jax.devices()[0].platform
     )
-
-    # Conformance gate on the reference workload before any timing.
-    sc_small = apm.Scanner(pats, k=0)
-    counts = sc_small.count(ref_corpus)
-    expected = apm.utils.oracle.count_matches(ref_corpus, pats, 0)
-    if counts.tolist() != expected:
-        print(json.dumps({
-            "metric": "steady_state_64mb_6pat_k0", "value": 0.0,
-            "unit": "MB/s", "vs_baseline": 0.0,
-            "error": f"count mismatch {counts.tolist()} != {expected}",
-        }))
-        return 1
-
     extras = {"session": session}
+    skipped = []
 
-    # PRIMARY: 64 MB steady state, k=0, same pattern set.
+    # PRIMARY: 64 MB steady state, k=0, same pattern set — with planted
+    # exact occurrences so the conformance gate below has real matches
+    # to miscount if an engine were broken.
     rng = np.random.default_rng(0)
     alpha = np.frombuffer(b"ACGT\n", dtype=np.uint8)
-    syn = alpha[rng.integers(0, 5, size=64 << 20)]
+    syn = alpha[rng.integers(0, 5, size=PRIM_MB << 20)]
+    p1 = np.frombuffer(pats[1], np.uint8)
+    # one planted exact copy per MB (63 at the default 64 MB)
+    for pos in range(4096, (PRIM_MB - 1) << 20, 1 << 20):
+        syn[pos:pos + len(p1)] = p1
     syn.setflags(write=False)
+    _log("compiling primary (64 MB, k=0)...")
     sc64 = apm.Scanner(pats, k=0)
-    sc64.count(syn)  # compile + stage
+    counts64 = sc64.count(syn)  # compile + stage
+    _log("primary compiled; conformance gate (host substring count)...")
+
+    # Zero-extra-compile exact conformance gate: at k = 0 the reference
+    # semantics equal overlapping substring count (see _host_exact_count).
+    syn_b = syn.tobytes()
+    expected64 = [_host_exact_count(syn_b, p) for p in pats]
+    del syn_b
+    if counts64.tolist() != expected64:
+        _emit({
+            "metric": PRIMARY, "value": 0.0, "unit": "MB/s",
+            "vs_baseline": 0.0,
+            "error": f"64MB gate: {counts64.tolist()} != {expected64}",
+        })
+        return 1
+    _log(f"gate ok (counts={counts64.tolist()}); timing primary...")
+
     mbps64 = _metric(
-        extras, "steady_state_64mb_6pat_k0", len(syn),
-        _time_stats(lambda: sc64.count(syn), 5), sc64,
+        extras, PRIMARY, len(syn), _time_stats(lambda: sc64.count(syn), 5),
+        sc64,
     )
 
-    # Latency line item: the reference's literal 1.6 MB workload.
-    try:
-        _metric(
-            extras, "latency_bound_1p6mb_k0", len(ref_corpus),
-            _time_stats(lambda: sc_small.count(ref_corpus), 5),
-        )
-    except Exception:
-        pass
+    def payload():
+        return {
+            "metric": PRIMARY,
+            "value": round(mbps64, 1),
+            "unit": "MB/s",
+            "vs_baseline": round(mbps64 / REF_BEST_MBPS, 1),
+            "bench_elapsed_s": round(time.perf_counter() - T0, 1),
+            **({"skipped": skipped} if skipped else {}),
+            **extras,
+        }
+
+    # The primary line is now safe on stdout whatever happens next.
+    _emit(payload())
+
+    # -- extras, each behind the internal deadline ------------------------
+    def budget(name: str) -> bool:
+        if _left() < EXTRA_MARGIN_S:
+            _log(f"SKIP {name}: {_left():.0f}s left < {EXTRA_MARGIN_S:.0f}s")
+            skipped.append(name)
+            return False
+        _log(f"start {name} ({_left():.0f}s left)")
+        return True
+
+    # Reference byte-contract gate + latency line item (1.6 MB shapes:
+    # one fresh compile, shared between gate and timing).
+    if budget("latency_bound_1p6mb_k0"):
+        try:
+            sc_small = apm.Scanner(pats, k=0)
+            counts = sc_small.count(ref_corpus)
+            expected = apm.utils.oracle.count_matches(ref_corpus, pats, 0)
+            if counts.tolist() != expected:
+                _emit({
+                    "metric": PRIMARY, "value": 0.0, "unit": "MB/s",
+                    "vs_baseline": 0.0,
+                    "error": (
+                        f"ref gate: {counts.tolist()} != {expected}"
+                    ),
+                })
+                return 1
+            _metric(
+                extras, "latency_bound_1p6mb_k0", len(ref_corpus),
+                _time_stats(lambda: sc_small.count(ref_corpus), 5),
+            )
+        except Exception as e:
+            _log(f"latency_bound_1p6mb_k0 FAILED: {e!r}")
+            extras["latency_bound_1p6mb_k0_error"] = repr(e)[:200]
+
+    # 256 MB synthetic corpus shared by the k>=1 and many-pattern extras
+    # (allocated once, outside any metric's try block — ADVICE r3 #3).
+    syn256 = alpha[rng.integers(0, 5, size=BIG_MB << 20)]
+
     # k=1 / k=2 with REAL matches present: planted fuzzy occurrences
     # exercise conv phase 1 + on-device verification end to end on a
     # 256 MB corpus (VERDICT r2 "do this" #1 target: >= 2 GB/s).
-    try:
-        from apm.utils.corpus import plant
+    for kk in (1, 2):
+        name = f"steady_state_256mb_k{kk}_planted"
+        if not budget(name):
+            continue
+        try:
+            from apm.utils.corpus import plant
 
-        syn256 = alpha[rng.integers(0, 5, size=256 << 20)]
-        for kk in (1, 2):
             syn_k = syn256.copy()
-            plant(syn_k, np.frombuffer(pats[1], np.uint8),
-                  list(range(5000, 250 << 20, 1 << 20)), k=kk, seed=7)
+            plant(syn_k, p1,
+                  list(range(5000, (BIG_MB - 6) << 20, 1 << 20)),
+                  k=kk, seed=7)
             syn_k.setflags(write=False)
             sc_k = apm.Scanner(pats, k=kk)
             sc_k.count(syn_k)
             _metric(
-                extras, f"steady_state_256mb_k{kk}_planted", len(syn_k),
+                extras, name, len(syn_k),
                 _time_stats(lambda: sc_k.count(syn_k), 5), sc_k,
             )
-    except Exception:
-        pass
+            del syn_k, sc_k
+        except Exception as e:
+            _log(f"{name} FAILED: {e!r}")
+            extras[f"{name}_error"] = repr(e)[:200]
+
     # Many-pattern serving: 64 distinct 50-char patterns at k = 0 routes
     # the MXU correlation engine (DESIGN.md §8) — throughput is flat in
-    # pattern count where the banded kernel's falls off (~155 MB/s at
-    # this width). 256 MB so the ~30 ms/call link latency is amortized.
-    try:
-        pats64 = [
-            bytes(alpha[rng.integers(0, 4, size=50)]) for _ in range(64)
-        ]
-        syn256.setflags(write=False)
-        sc_p64 = apm.Scanner(pats64, 0)
-        sc_p64.count(syn256)
-        _metric(
-            extras, "steady_state_256mb_64pat_k0", len(syn256),
-            _time_stats(lambda: sc_p64.count(syn256), 5), sc_p64,
-        )
-    except Exception:
-        pass
-    # Large-corpus steady state (512 MB, two chunks).
-    try:
-        syn512 = alpha[rng.integers(0, 5, size=512 << 20)]
-        syn512.setflags(write=False)
-        sc512 = apm.Scanner(pats, k=0)
-        sc512.count(syn512)
-        _metric(
-            extras, "steady_state_512mb_k0", len(syn512),
-            _time_stats(lambda: sc512.count(syn512), 5), sc512,
-        )
-    except Exception:
-        pass
+    # pattern count where the banded kernel's falls off. 256 MB so the
+    # ~30 ms/call link latency is amortized.
+    if budget("steady_state_256mb_64pat_k0"):
+        try:
+            pats64 = [
+                bytes(alpha[rng.integers(0, 4, size=50)]) for _ in range(64)
+            ]
+            syn256.setflags(write=False)
+            sc_p64 = apm.Scanner(pats64, 0)
+            sc_p64.count(syn256)
+            _metric(
+                extras, "steady_state_256mb_64pat_k0", len(syn256),
+                _time_stats(lambda: sc_p64.count(syn256), 5), sc_p64,
+            )
+            del sc_p64
+        except Exception as e:
+            _log(f"steady_state_256mb_64pat_k0 FAILED: {e!r}")
+            extras["steady_state_256mb_64pat_k0_error"] = repr(e)[:200]
 
-    print(json.dumps({
-        "metric": "steady_state_64mb_6pat_k0",
-        "value": round(mbps64, 1),
-        "unit": "MB/s",
-        "vs_baseline": round(mbps64 / REF_BEST_MBPS, 1),
-        **extras,
-    }))
+    # Large-corpus steady state (512 MB, two chunks — same compiled chunk
+    # shape as the 256 MB scans, so no fresh compile when those ran).
+    if budget("steady_state_512mb_k0"):
+        try:
+            syn512 = alpha[rng.integers(0, 5, size=(2 * BIG_MB) << 20)]
+            syn512.setflags(write=False)
+            sc512 = apm.Scanner(pats, k=0)
+            sc512.count(syn512)
+            _metric(
+                extras, "steady_state_512mb_k0", len(syn512),
+                _time_stats(lambda: sc512.count(syn512), 5), sc512,
+            )
+            del syn512, sc512
+        except Exception as e:
+            _log(f"steady_state_512mb_k0 FAILED: {e!r}")
+            extras["steady_state_512mb_k0_error"] = repr(e)[:200]
+
+    _log(f"done; {len(skipped)} extras skipped {skipped or ''}")
+    _emit(payload())
     return 0
 
 
@@ -202,11 +324,11 @@ if __name__ == "__main__":
     try:
         sys.exit(main())
     except Exception as e:  # always emit the one JSON line the driver expects
-        print(json.dumps({
-            "metric": "steady_state_64mb_6pat_k0",
+        _emit({
+            "metric": PRIMARY,
             "value": 0.0,
             "unit": "MB/s",
             "vs_baseline": 0.0,
             "error": f"{type(e).__name__}: {e}"[:300],
-        }))
+        })
         sys.exit(1)

@@ -140,3 +140,35 @@ def test_count_stream_tiny_and_empty():
     # stream shorter than one pattern: pure EOF-truncation territory
     got = sc.count_stream(iter([b"AC"]))
     assert got.tolist() == count_matches(b"AC", [b"ACG"], 1)
+
+
+def test_count_batch_corr_ineligible_raises():
+    """Forced engine='corr' raises on an ineligible batch instead of
+    silently routing to the banded kernel — the same contract count()
+    implements (ADVICE r3 #4)."""
+    wide = bytes(range(40))  # alphabet 40 > ALPHABET_MAX
+    sc = Scanner([wide], 0, ApmConfig(engine="corr", **PALLAS))
+    with pytest.raises(ValueError, match="corr"):
+        sc.count_batch([random_dna(2000, seed=420)])
+
+
+def test_fp_memo_detects_refrozen_mutation():
+    """A frozen buffer thawed, mutated in place, and re-frozen must not be
+    served stale cached counts via the fingerprint memo (ADVICE r3 #2).
+
+    The memo's guard is a 9-offset byte sample (`Scanner._fp_sample`), so
+    the mutation here targets the sampled head of the buffer; strategy is
+    forced single-device because the sharded paths stage per-shard and
+    don't consult the memo."""
+    pat = random_dna(12, seed=430).tobytes()
+    corpus = random_dna(4000, seed=431)
+    corpus[20:32] = np.frombuffer(pat, np.uint8)
+    corpus.setflags(write=False)
+    sc = Scanner([pat], 0, ApmConfig(strategy="single", **PALLAS))
+    first = sc.count(corpus).tolist()
+    assert first == count_matches(corpus, [pat], 0)
+    assert len(sc._fp_memo) == 1  # the memo path is actually engaged
+    corpus.setflags(write=True)
+    corpus[20:32] = 0  # kill the planted occurrence in place
+    corpus.setflags(write=False)
+    assert sc.count(corpus).tolist() == count_matches(corpus, [pat], 0)
