@@ -692,7 +692,11 @@ class Scanner:
 
     # -- public API ------------------------------------------------------------
 
-    def warmup(self, corpus_bytes: int) -> None:
+    def warmup(
+        self,
+        corpus_bytes: int,
+        paths: Sequence[str] = ("count", "find", "batch"),
+    ) -> None:
         """Ahead-of-time compile the kernels for a given corpus size.
 
         First-time compilation of a (k, pattern-length multiset, block
@@ -703,9 +707,97 @@ class Scanner:
         AOT-lowered executables don't feed the normal dispatch path, so a
         real execution is the only reliable warm); results land in the
         persistent compile cache. No-op on non-Pallas backends.
+
+        ``paths`` selects which serving entry points to warm:
+
+        * ``"count"`` — the :meth:`count` kernels (filtration / banded /
+          corr / overflow-recovery), zero-filled blocks of exact shapes;
+        * ``"find"`` — :meth:`find`'s position kernels
+          (``find_positions_chunk`` / ``sweep_positions_chunk`` and the
+          overflow ``gather_mask_rows``), warmed by driving the real
+          entry point on a zero corpus of ``corpus_bytes`` (identical
+          shapes to a real call) plus one direct overflow-batch call;
+        * ``"batch"`` — :meth:`count_batch`'s grouped kernel, warmed on a
+          one-corpus batch of ``corpus_bytes`` (covers any batch big
+          enough to hit the group bucket cap; smaller batches bucket
+          differently and compile on first use).
+
+        Corpus-cache entries staged by the warm runs are purged so the
+        zero corpus never occupies the device cache budget.
         """
         if self._resolve_backend() != "pallas":
             return
+        if "count" in paths:
+            self._warmup_count(int(corpus_bytes))
+        if "find" in paths or "batch" in paths:
+            self._warmup_serving(int(corpus_bytes), paths)
+
+    def _warmup_serving(self, n: int, paths: Sequence[str]) -> None:
+        """Drive find()/count_batch on a zero corpus to absorb their
+        compiles (see :meth:`warmup`), leaving the corpus caches as they
+        were."""
+        dev_keys = set(self._dev_cache)
+        fold_keys = set(self._fold_cache or ())
+        zeros = np.zeros((n,), dtype=np.uint8)
+        try:
+            if "find" in paths:
+                self.find(zeros)
+                self._warmup_gather(n)
+            if "batch" in paths:
+                self.count_batch([zeros])
+        finally:
+            for key in [k2 for k2 in self._dev_cache if k2 not in dev_keys]:
+                self._dev_cache.pop(key, None)
+            if self._fold_cache is not None:
+                with self._fold_cache_lock:
+                    for key in [
+                        k2 for k2 in self._fold_cache if k2 not in fold_keys
+                    ]:
+                        self._fold_cache.pop(key, None)
+            self._fp_memo.clear()
+
+    def _warmup_gather(self, n: int) -> None:
+        """Compile find()'s overflow-batch kernel (``gather_mask_rows``)
+        for the exact shapes :meth:`find` dispatches at corpus size
+        ``n`` — a zero-corpus drive never overflows, so this one is
+        warmed directly."""
+        from ..ops.filter_kernel import FOLD as FILTER_FOLD
+        from ..ops.filter_kernel import partition_plens
+        from ..ops.fused import FIND_BATCH, POS_CAP, gather_mask_rows
+        from ..ops.pallas_kernel import _DTYPE_FOLD
+
+        k = self.k
+        fold = _DTYPE_FOLD[self.config.dp_dtype]
+        if fold != FILTER_FOLD:
+            return
+        dev_bound = self.device_window_bound(n)
+        if dev_bound <= 0:
+            return
+        p_all = self.scan_patterns.num_patterns
+        _, plens_filter, plens_dp = partition_plens(
+            self._plens_static, k, "filter"
+        )
+        w = round_up(self.block_windows_for(n), max(fold, FILTER_FOLD) * 128)
+        wf = w // fold
+        halo = round_up(self.m_max + 2 * k, 128)
+        chunk_win = max(w, round_up(min(self.config.chunk_bytes, dev_bound), w))
+        n_rows = chunk_win // wf
+        rows = jax.numpy.zeros((n_rows, wf + halo), jax.numpy.uint8)
+        idx = jax.numpy.full((FIND_BATCH,), n_rows, jax.numpy.int32)
+        dpat = jax.numpy.asarray(self._pat)
+        for plens in (plens_filter, plens_dp):
+            if not any(plens):
+                continue
+            posmeta, _bits = gather_mask_rows(
+                rows, idx, dpat, jax.numpy.asarray(0, np.int32),
+                k=k, m_max=self.m_max, wf=wf, halo=halo, plens=plens,
+                p_real=p_all, dp_dtype=self.config.dp_dtype,
+                alphabet=self._dp_alphabet(), dp_impl=self.config.dp_impl,
+                interpret=self.config.interpret, pos_cap=POS_CAP,
+            )
+            np.asarray(posmeta)
+
+    def _warmup_count(self, n: int) -> None:
         from ..ops.filter_kernel import scan_filter_pallas
         from ..ops.fused import (
             count_hot_batch,
@@ -715,7 +807,6 @@ class Scanner:
         from ..ops.pallas_kernel import scan_folded_pallas_unrolled
         from .pipeline import make_plan
 
-        n = int(corpus_bytes)
         k = self.k
         plan = make_plan(self, n, "pallas")
         wf, halo, dev_bound = plan.wf, plan.halo, plan.dev_bound
@@ -848,6 +939,7 @@ class Scanner:
         from ..ops.fused import (
             FIND_BATCH,
             MAX_CLIP,
+            POS_CAP,
             find_positions_chunk,
             gather_mask_rows,
             sweep_positions_chunk,
@@ -892,6 +984,10 @@ class Scanner:
                     alphabet=self._dp_alphabet(),
                     dp_impl=self.config.dp_impl,
                     interpret=self.config.interpret,
+                    # read at call time (module attr) and part of the jit
+                    # static key, so a changed cap can never reuse a trace
+                    # compiled for a different position-vector size
+                    pos_cap=POS_CAP,
                 )
                 dpat_raw = jax.numpy.asarray(self._pat_raw)
                 dpat = jax.numpy.asarray(self._pat)
@@ -923,15 +1019,95 @@ class Scanner:
                                 c0 + rows_np[hh].astype(np.int64) * wf + ll
                             )
 
-                def finish_path(name, plens, sel, drows, c0, meta, bits,
-                                rowmap):
+                def collect_pos(pos_np, n_pos, rows_np, c0, sel):
+                    """Append positions from device-compacted flat indices
+                    (see fused._compact_positions: flat order is
+                    (row-in-batch, pattern, window))."""
+                    v = pos_np[:n_pos].astype(np.int64)
+                    b = v // (p_all * wf)
+                    rest = v % (p_all * wf)
+                    pis = rest // wf
+                    ll = rest % wf
+                    base = c0 + rows_np.astype(np.int64)[b] * wf + ll
+                    for pi in range(p_all):
+                        if not sel[pi]:
+                            continue
+                        seg = base[pis == pi]
+                        if len(seg):
+                            dev_positions[pi].append(seg)
+
+                def collect_batch(posmeta_like, bits, rows_np, c0, sel):
+                    """One verdict-mask batch: fetch the small compacted-
+                    position vector; touch the packed mask only when the
+                    batch overflowed its position capacity (bits stays on
+                    device — np.asarray is the transfer)."""
+                    pm = np.asarray(posmeta_like)
+                    n_pos = int(pm[0])
+                    if n_pos <= pm.size - 1:
+                        collect_pos(pm[1:], n_pos, rows_np, c0, sel)
+                    else:
+                        collect(np.asarray(bits), rows_np, c0, sel)
+
+                def gather_batches(hot, drows, c0, sel, kw):
+                    """Re-verify ``hot`` (global full hot rows, ascending)
+                    via gather_mask_rows batches, all dispatched before
+                    the first fetch (each fetch is a full link round
+                    trip)."""
+                    r_rows = drows.shape[0]
+                    batches, handles = [], []
+                    for b0 in range(0, len(hot), FIND_BATCH):
+                        batch = hot[b0 : b0 + FIND_BATCH]
+                        bidx = np.full(FIND_BATCH, r_rows, dtype=np.int32)
+                        bidx[: len(batch)] = batch
+                        batches.append(batch)
+                        handles.append(
+                            gather_mask_rows(
+                                drows, jax.numpy.asarray(bidx), dpat,
+                                jax.numpy.asarray(len(batch), dtype=np.int32),
+                                **kw,
+                            )
+                        )
+                    for batch, (pm, bb) in zip(batches, handles):
+                        collect_batch(pm, bb, batch, c0, sel)
+
+                def collect_groups(gp, nposs, g, c0, sel):
+                    """Decode the sweep's per-group compacted positions
+                    (groups whose hits fit cap_g); returns the list of
+                    overflowed group indices."""
+                    cap_g = gp.shape[1]
+                    over = []
+                    for gi in range(gp.shape[0]):
+                        npg = int(nposs[gi])
+                        if npg > cap_g:
+                            over.append(gi)
+                            continue
+                        if npg == 0:
+                            continue
+                        v = gp[gi, :npg].astype(np.int64)
+                        rloc = v // (p_all * wf)
+                        rest = v % (p_all * wf)
+                        pis = rest // wf
+                        ll = rest % wf
+                        base = c0 + (gi * g + rloc) * wf + ll
+                        for pi in range(p_all):
+                            if not sel[pi]:
+                                continue
+                            seg = base[pis == pi]
+                            if len(seg):
+                                dev_positions[pi].append(seg)
+                    return over
+
+                def finish_path(name, plens, sel, drows, c0, meta, pos,
+                                gpos, bits, rowmap):
                     kw = dict(kw_common, plens=plens)
                     mv = np.asarray(meta)
                     fcnt = mv[: len(plens)]
                     n_hot = int(mv[len(plens)])
-                    idx = mv[len(plens) + 1 : len(plens) + 1 + FIND_BATCH]
-                    clip_starts = mv[len(plens) + 1 + FIND_BATCH :]
-                    assert len(clip_starts) == MAX_CLIP
+                    n_pos = int(mv[len(plens) + 1])
+                    idx = mv[len(plens) + 2 : len(plens) + 2 + FIND_BATCH]
+                    cs0 = len(plens) + 2 + FIND_BATCH
+                    clip_starts = mv[cs0 : cs0 + MAX_CLIP]
+                    nposs = mv[cs0 + MAX_CLIP :]  # sweep path: per-group
                     clip_ranges[name].extend(
                         (int(cs), min(int(cs) + wf, dev_bound))
                         for cs in clip_starts
@@ -939,35 +1115,44 @@ class Scanner:
                     )
                     if int(fcnt.sum()) == 0:
                         return
+                    r_rows = drows.shape[0]
+                    if gpos is not None and n_hot > FIND_BATCH:
+                        # Dense regime on the sweep path: ONE gpos fetch
+                        # replaces the tail verdicts and every gather
+                        # batch; only groups past cap_g re-verify.
+                        g = r_rows // len(nposs)
+                        over = collect_groups(
+                            np.asarray(gpos), nposs, g, c0, sel
+                        )
+                        if over:
+                            rm = np.asarray(rowmap)
+                            hot_all = np.sum(rm, axis=1) > 0
+                            rows = []
+                            for gi in over:
+                                rr = np.arange(gi * g, (gi + 1) * g)
+                                rr = rr[hot_all[rr]]
+                                rr = rr[c0 + (rr + 1) * wf <= dev_bound]
+                                rows.append(rr)
+                            gather_batches(
+                                np.concatenate(rows), drows, c0, sel, kw
+                            )
+                        return
                     n_first = min(n_hot, FIND_BATCH)
                     if n_first > 0:
-                        collect(np.asarray(bits), idx[:n_first], c0, sel)
+                        if n_pos <= pos.shape[0]:
+                            collect_pos(
+                                np.asarray(pos), n_pos, idx[:n_first], c0,
+                                sel,
+                            )
+                        else:
+                            collect(np.asarray(bits), idx[:n_first], c0, sel)
                     if n_hot > FIND_BATCH:
-                        # Overflow: remaining hot rows via explicit batches,
-                        # all dispatched before the first fetch (each fetch
-                        # is a full link round trip).
                         rm = np.asarray(rowmap)
                         hot = np.nonzero(np.sum(rm, axis=1) > 0)[0]
                         full = c0 + (hot + 1) * wf <= dev_bound
-                        hot = hot[full][FIND_BATCH:]
-                        r_rows = drows.shape[0]
-                        batches, handles = [], []
-                        for b0 in range(0, len(hot), FIND_BATCH):
-                            batch = hot[b0 : b0 + FIND_BATCH]
-                            bidx = np.full(FIND_BATCH, r_rows, dtype=np.int32)
-                            bidx[: len(batch)] = batch
-                            batches.append(batch)
-                            handles.append(
-                                gather_mask_rows(
-                                    drows, jax.numpy.asarray(bidx), dpat,
-                                    jax.numpy.asarray(
-                                        len(batch), dtype=np.int32
-                                    ),
-                                    **kw,
-                                )
-                            )
-                        for batch, h in zip(batches, handles):
-                            collect(np.asarray(h), batch, c0, sel)
+                        gather_batches(
+                            hot[full][FIND_BATCH:], drows, c0, sel, kw
+                        )
 
                 # Dispatch chunks ahead of the fetches (async): the metas
                 # and first-batch bits travel while the device is still
@@ -979,17 +1164,25 @@ class Scanner:
                     drows = self._staged_rows(buf, fp, c0, n_rows, wf, halo)
                     dc0 = jax.numpy.asarray(c0, dtype=np.int32)
                     for name, plens, sel in paths:
-                        kw = dict(kw_common, plens=plens)
+                        # n_batch mirrors the module constant so the host
+                        # meta parse and the kernels' static layout can't
+                        # drift (and tests can shrink it).
+                        kw = dict(kw_common, plens=plens,
+                                  n_batch=FIND_BATCH)
                         if name == "filter":
-                            meta, bits, rowmap = find_positions_chunk(
+                            meta, pos, bits, rowmap = find_positions_chunk(
                                 drows, dpat_raw, dpat, dbound, dc0, **kw
                             )
+                            gpos = None
                         else:
-                            meta, bits, rowmap = sweep_positions_chunk(
-                                drows, dpat, dbound, dc0, **kw
+                            meta, pos, gpos, bits, rowmap = (
+                                sweep_positions_chunk(
+                                    drows, dpat, dbound, dc0, **kw
+                                )
                             )
                         pending.append(
-                            (name, plens, sel, drows, c0, meta, bits, rowmap)
+                            (name, plens, sel, drows, c0, meta, pos, gpos,
+                             bits, rowmap)
                         )
                     while len(pending) > ahead:
                         finish_path(*pending.pop(0))

@@ -343,6 +343,33 @@ def count_hot_batch(
 # (n_batch * P * wf / 8 bytes — 512 KB/pattern at wf 8192).
 FIND_BATCH = 512
 
+# Static size of the device-compacted position vector per verdict-mask
+# batch. A batch's mask spans n_batch*p_real*wf windows; when it holds
+# <= POS_CAP hits the host fetches ONLY these flat indices (<= 512 KB)
+# instead of the multi-MB packed mask — on the tunneled link the mask
+# FETCH, not the kernel, was the dense-adversarial cliff (66 MB/s at
+# m=9/k=2 with every staging row hot but only ~3 hits/row, VERDICT r3
+# weak #6). Overflowing batches (> POS_CAP hits) fall back to the packed
+# mask, so the contract stays exact for every density.
+POS_CAP = 1 << 17
+
+
+def _compact_positions(mask: jax.Array, p_real: int, wf: int,
+                       pos_cap: int = POS_CAP):
+    """Flat-index ``nonzero`` compaction of a ``(R, P, wf)`` verdict mask.
+
+    Returns ``(pos, n_pos)``: the first :data:`POS_CAP` flat indices into
+    ``(R, p_real, wf)`` holding a hit (ascending; -1 padding) and the
+    exact total hit count (so the caller knows whether ``pos`` is
+    complete). Flat order is (row-in-batch, pattern, window), so per
+    pattern the decoded positions ascend whenever the batch's row indices
+    ascend — matching the segment-ascending contract of the mask path.
+    """
+    flat = (mask[:, :p_real, :wf] != 0).reshape(-1)
+    n_pos = jnp.sum(flat.astype(jnp.int32))
+    pos = jnp.nonzero(flat, size=pos_cap, fill_value=-1)[0].astype(jnp.int32)
+    return pos, n_pos
+
 
 def _pack_mask_bits(mask: jax.Array, p_real: int) -> jax.Array:
     """Bit-pack a ``(R, P, wf) int8`` verdict mask to ``(R, p_real,
@@ -373,7 +400,7 @@ def unpack_mask_bits(packed: "np.ndarray", pi: int, n_rows: int):
     jax.jit,
     static_argnames=(
         "k", "m_max", "wf", "halo", "plens", "p_real", "dp_dtype", "alphabet", "dp_impl",
-        "interpret",
+        "interpret", "pos_cap",
     ),
 )
 def gather_mask_rows(
@@ -392,10 +419,14 @@ def gather_mask_rows(
     alphabet: tuple = (),  # static distinct pattern bytes (Myers DP key)
     dp_impl: str = "auto",
     interpret: bool = False,
+    pos_cap: int = POS_CAP,
 ):
-    """Gather hot rows out of the device staging and return their
-    bit-packed per-window verdict mask ``(n_batch, p_real, wf//32)
-    uint32`` (see :func:`_pack_mask_bits`).
+    """Gather hot rows out of the device staging and return ``(posmeta,
+    bits)``: the device-compacted hit positions ``[n_pos (1) | pos
+    (POS_CAP)]`` (see :func:`_compact_positions`) and the bit-packed
+    per-window verdict mask ``(n_batch, p_real, wf//32) uint32`` (see
+    :func:`_pack_mask_bits`). The caller fetches the small ``posmeta``
+    first and touches ``bits`` only when ``n_pos > POS_CAP``.
 
     The gather stays on device (the staging is already resident), the
     banded kernel re-runs only the gathered rows, and the caller maps
@@ -413,7 +444,13 @@ def gather_mask_rows(
         dp_dtype=dp_dtype, alphabet=alphabet, dp_impl=dp_impl,
         interpret=interpret,
     )
-    return _pack_mask_bits(mask, p_real)
+    # ~32 hits/row before this batch falls back to the packed mask;
+    # pos_cap stays the ceiling (and the test knob).
+    pos, n_pos = _compact_positions(
+        mask, p_real, wf, min(pos_cap, 32 * idx.shape[0])
+    )
+    posmeta = jnp.concatenate([n_pos.reshape(1), pos])
+    return posmeta, _pack_mask_bits(mask, p_real)
 
 
 @_dp_mode_shim
@@ -421,7 +458,7 @@ def gather_mask_rows(
     jax.jit,
     static_argnames=(
         "k", "m_max", "wf", "halo", "plens", "p_real", "n_batch",
-        "dp_dtype", "alphabet", "dp_impl", "interpret",
+        "dp_dtype", "alphabet", "dp_impl", "interpret", "pos_cap",
     ),
 )
 def find_positions_chunk(
@@ -442,6 +479,7 @@ def find_positions_chunk(
     alphabet: tuple = (),  # static distinct pattern bytes (Myers DP key)
     dp_impl: str = "auto",
     interpret: bool = False,
+    pos_cap: int = POS_CAP,
 ):
     """One-call position extraction for one staged chunk (``Scanner.find``).
 
@@ -449,8 +487,10 @@ def find_positions_chunk(
     mask re-verification all run in ONE device program, mirroring
     :func:`filter_verify_chunk`'s latency discipline: the host fetches a
     single small ``meta`` int32 vector — layout ``[fcnt (P) | n_hot (1) |
-    idx (n_batch) | clip_starts (MAX_CLIP)]`` — and, only when candidates
-    exist, the bit-packed verdicts ``(n_batch, p_real, wf//32) uint32``.
+    n_pos (1) | idx (n_batch) | clip_starts (MAX_CLIP)]`` — then the
+    device-compacted hit positions ``pos`` when ``n_pos <= POS_CAP``
+    (the common case: KBs instead of MBs over the link), else the
+    bit-packed verdicts ``(n_batch, p_real, wf//32) uint32``.
     Zero-candidate chunks cost one fetch; sparse and dense matches alike
     resolve positions at device speed. ``rowmap`` stays on device and is
     fetched only when ``n_hot > n_batch`` (overflow → further
@@ -466,13 +506,14 @@ def find_positions_chunk(
         corpus_rows, fcnt, rowmap, pat, bound, start,
         k=k, m_max=m_max, wf=wf, halo=halo, plens=plens, p_real=p_real,
         n_batch=n_batch, dp_dtype=dp_dtype, alphabet=alphabet, dp_impl=dp_impl,
-        interpret=interpret,
+        interpret=interpret, pos_cap=pos_cap,
     )
 
 
 def _positions_tail(
     corpus_rows, fcnt, rowmap, pat, bound, start, *, k, m_max, wf, halo,
     plens, p_real, n_batch, dp_dtype, alphabet, dp_impl, interpret,
+    pos_cap,
 ):
     """Shared position-extraction tail: compact hot rows out of the
     device-resident staging, re-run the verdict-mask banded kernel over
@@ -507,10 +548,14 @@ def _positions_tail(
     clip_starts = jnp.where(
         clip_idx >= 0, start + clip_idx.astype(jnp.int32) * wf, -1
     )
-    meta = jnp.concatenate(
-        [fcnt.astype(jnp.int32), n_hot.reshape(1), idx, clip_starts]
+    pos, n_pos = _compact_positions(
+        mask, p_real, wf, min(pos_cap, 32 * n_batch)
     )
-    return meta, _pack_mask_bits(mask, p_real), rowmap
+    meta = jnp.concatenate(
+        [fcnt.astype(jnp.int32), n_hot.reshape(1), n_pos.reshape(1), idx,
+         clip_starts]
+    )
+    return meta, pos, _pack_mask_bits(mask, p_real), rowmap
 
 
 # HBM budget for the dense sweep's per-group mask transient. The mask
@@ -526,7 +571,7 @@ SWEEP_MASK_BYTES = 64 << 20
     jax.jit,
     static_argnames=(
         "k", "m_max", "wf", "halo", "plens", "p_real", "n_batch",
-        "dp_dtype", "alphabet", "dp_impl", "interpret",
+        "dp_dtype", "alphabet", "dp_impl", "interpret", "pos_cap",
     ),
 )
 def sweep_positions_chunk(
@@ -546,6 +591,7 @@ def sweep_positions_chunk(
     alphabet: tuple = (),  # static distinct pattern bytes (Myers DP key)
     dp_impl: str = "auto",
     interpret: bool = False,
+    pos_cap: int = POS_CAP,
 ):
     """:func:`find_positions_chunk` for filtration-INELIGIBLE patterns.
 
@@ -554,12 +600,22 @@ def sweep_positions_chunk(
     every staged row (``lax.map`` over row groups sized from
     :data:`SWEEP_MASK_BYTES` keeps the int32 mask transient bounded),
     reducing each group's mask to per-row hit counts. That synthesized row
-    map then feeds the exact same
-    compaction / re-verification / bit-packing tail as the filtration
-    path, so the host-facing contract — one small ``meta`` fetch, packed
-    verdicts for the first ``n_batch`` hot rows, ``rowmap`` left on device
-    for overflow — is identical. Replaces the round-2 host-oracle corpus
-    sweep (``banded_distances`` over every window) these patterns used.
+    map then feeds the same compaction / re-verification /
+    position-compaction tail as the filtration path (the sparse regime's
+    contract), PLUS — because every group's exact verdict mask already
+    exists inside the sweep — a per-group device compaction ``gpos
+    (n_groups, cap_g) int32`` of full-row hit positions with per-group
+    totals appended to ``meta``. In the dense regime (``n_hot >
+    n_batch``) the host fetches ``gpos`` ONCE and decodes every position
+    straight out of the sweep — no re-verification batches, no
+    multi-round-trip gathers (the r3 dense-adversarial cliff: 66 MB/s at
+    m=9/k=2 was fetch- and batch-bound, VERDICT r3 weak #6); only groups
+    whose hits exceed ``cap_g`` fall back to :func:`gather_mask_rows`.
+
+    Returns ``(meta, pos, gpos, bits, rowmap)`` where ``meta`` is the
+    tail layout with ``nposs (n_groups)`` appended:
+    ``[fcnt (P) | n_hot | n_pos | idx (n_batch) | clip_starts (MAX_CLIP)
+    | nposs (n_groups)]``.
     """
     from .pallas_kernel import _DTYPE_FOLD, scan_folded_pallas_mask
 
@@ -576,6 +632,10 @@ def sweep_positions_chunk(
         if r_rows % d == 0 and d % fold == 0
     )
     n_groups = r_rows // g
+    # Per-group position budget: ~32 hits per row before a group falls
+    # back to the gather path; bounded by pos_cap so a monkeypatched /
+    # reconfigured cap shrinks every tier consistently.
+    cap_g = int(min(pos_cap, max(2048, 32 * g)))
 
     def one_group(g0):
         stage = jax.lax.dynamic_slice_in_dim(corpus_rows, g0 * g, g, axis=0)
@@ -587,17 +647,33 @@ def sweep_positions_chunk(
             dp_dtype=dp_dtype, alphabet=alphabet, dp_impl=dp_impl,
         interpret=interpret,
         )
-        return jnp.sum(mask.astype(jnp.int32), axis=2)  # (g, P)
+        rowcnt = jnp.sum(mask.astype(jnp.int32), axis=2)  # (g, P)
+        # Group-local position compaction over FULL rows only (clipped
+        # rows resolve host-side, same split as _positions_tail).
+        ridx = g0 * g + jnp.arange(g, dtype=jnp.int32)
+        full = (start + (ridx + 1) * wf) <= bound
+        flat = jnp.logical_and(
+            mask[:, :p_real, :wf] != 0, full[:, None, None]
+        ).reshape(-1)
+        npos_g = jnp.sum(flat.astype(jnp.int32))
+        pos_g = jnp.nonzero(flat, size=cap_g, fill_value=-1)[0].astype(
+            jnp.int32
+        )
+        return rowcnt, npos_g, pos_g
 
-    grp = jax.lax.map(one_group, jnp.arange(n_groups, dtype=jnp.int32))
+    grp, nposs, gpos = jax.lax.map(
+        one_group, jnp.arange(n_groups, dtype=jnp.int32)
+    )
     rowmap = grp.reshape(r_rows, -1)
     fcnt = jnp.sum(rowmap, axis=0)
-    return _positions_tail(
+    meta, pos, bits, rowmap = _positions_tail(
         corpus_rows, fcnt, rowmap, pat, bound, start,
         k=k, m_max=m_max, wf=wf, halo=halo, plens=plens, p_real=p_real,
         n_batch=n_batch, dp_dtype=dp_dtype, alphabet=alphabet, dp_impl=dp_impl,
-        interpret=interpret,
+        interpret=interpret, pos_cap=pos_cap,
     )
+    meta = jnp.concatenate([meta, nposs.astype(jnp.int32)])
+    return meta, pos, gpos, bits, rowmap
 
 
 def unpack_chunk(packed, p: int):

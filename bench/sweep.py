@@ -64,7 +64,7 @@ def run_scaling(args, jax, np, apm, ApmConfig) -> int:
     backend = "xla" if jax.devices()[0].platform == "cpu" else "pallas"
     n_avail = len(jax.devices())
     devices = [d for d in (1, 2, 4, 8) if d <= n_avail]
-    size = (1 << 20) if args.quick else (32 << 20)
+    size = (1 << 20) if args.quick else (args.size_mb << 20)
     rng = np.random.default_rng(1)
     alpha = np.frombuffer(b"ACGT\n", dtype=np.uint8)
     corpus = alpha[rng.integers(0, 5, size=size)]
@@ -150,6 +150,12 @@ def main() -> int:
         action="store_true",
         help="device-count x strategy scaling sweep instead of the "
         "corpus x P x k grid",
+    )
+    ap.add_argument(
+        "--size-mb",
+        type=int,
+        default=32,
+        help="scaling-sweep corpus MB (default 32; ignored with --quick)",
     )
     ap.add_argument(
         "--no-interpret",

@@ -469,3 +469,48 @@ def test_mixed_tiers_one_scan():
     want = count_matches(corpus, pats, k)
     assert counts_with(corpus, pats, k, "auto") == want
     assert counts_with(corpus, pats, k, "dp") == want
+
+
+def test_find_pos_cap_overflow_mask_fallback(monkeypatch):
+    """When a verdict-mask batch holds more hits than POS_CAP, the host
+    must fall back to the packed-mask fetch — shrink POS_CAP so a small
+    dense corpus overflows it on both find paths (r4 position
+    compaction)."""
+    import apm.ops.fused as fused
+    from apm.models.scanner import Scanner
+
+    monkeypatch.setattr(fused, "POS_CAP", 8)
+    corpus = np.full(9000, ord("A"), dtype=np.uint8)
+    short = np.full(8, ord("A"), dtype=np.uint8)  # ineligible -> sweep
+    longp = np.full(48, ord("A"), dtype=np.uint8)  # eligible -> filter
+    cfg = ApmConfig(
+        backend="pallas", interpret=True, block_windows=1024,
+        chunk_bytes=4096,
+    )
+    sc = Scanner([short, longp], 2, cfg)
+    got = sc.find(corpus)
+    assert list(got[0]) == np_positions(corpus, short, 2)
+    assert list(got[1]) == np_positions(corpus, longp, 2)
+
+
+def test_find_dense_gpos_branch(monkeypatch):
+    """Dense-scattered regime: many hot rows (n_hot > FIND_BATCH) but few
+    hits per group — positions must come from the sweep's per-group
+    compaction (gpos decode), not gather batches (r4 dense fix).
+    FIND_BATCH is shrunk so a small interpret-mode corpus overflows it."""
+    import apm.ops.fused as fused
+    from apm.models.scanner import Scanner
+
+    monkeypatch.setattr(fused, "FIND_BATCH", 8)
+    corpus = random_dna(40000, seed=90).copy()
+    pat = random_dna(8, seed=91)
+    for pos in range(50, 39000, 300):
+        corpus[pos:pos + 8] = pat
+    cfg = ApmConfig(
+        backend="pallas", interpret=True, block_windows=1024,
+        chunk_bytes=8192,
+    )
+    sc = Scanner([pat], 2, cfg)
+    got = sc.find(corpus)[0]
+    assert list(got) == np_positions(corpus, pat, 2)
+    assert len(got) == sc.count(corpus)[0]
