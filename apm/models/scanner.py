@@ -1019,15 +1019,21 @@ class Scanner:
                                 c0 + rows_np[hh].astype(np.int64) * wf + ll
                             )
 
-                def collect_pos(pos_np, n_pos, rows_np, c0, sel):
-                    """Append positions from device-compacted flat indices
-                    (see fused._compact_positions: flat order is
-                    (row-in-batch, pattern, window))."""
-                    v = pos_np[:n_pos].astype(np.int64)
-                    b = v // (p_all * wf)
-                    rest = v % (p_all * wf)
-                    pis = rest // wf
-                    ll = rest % wf
+                def collect_rows(pos2, cnts, rows_np, c0, sel):
+                    """Append positions from per-row device top-k
+                    compaction (fused._row_topk_positions): ``pos2``
+                    (nb, c) flat indices into (p, wf), ``cnts`` exact
+                    per-row hit counts, ``rows_np`` the rows' global
+                    staging indices. Rows with cnt > c are skipped (the
+                    caller routes them through the mask fallback)."""
+                    nb, c = pos2.shape
+                    valid = (pos2 >= 0) & (cnts <= c)[:, None]
+                    b, _s = np.nonzero(valid)
+                    if not len(b):
+                        return
+                    v = pos2[valid].astype(np.int64)
+                    pis = v // wf
+                    ll = v % wf
                     base = c0 + rows_np.astype(np.int64)[b] * wf + ll
                     for pi in range(p_all):
                         if not sel[pi]:
@@ -1037,16 +1043,21 @@ class Scanner:
                             dev_positions[pi].append(seg)
 
                 def collect_batch(posmeta_like, bits, rows_np, c0, sel):
-                    """One verdict-mask batch: fetch the small compacted-
-                    position vector; touch the packed mask only when the
-                    batch overflowed its position capacity (bits stays on
-                    device — np.asarray is the transfer)."""
+                    """One verdict-mask batch: fetch the small per-row
+                    count+position vector; touch the packed mask only
+                    when some row overflowed POS_CAP — the same predicate
+                    the device used to decide whether to compute bits
+                    (bits stays on device — np.asarray is the
+                    transfer)."""
                     pm = np.asarray(posmeta_like)
-                    n_pos = int(pm[0])
-                    if n_pos <= pm.size - 1:
-                        collect_pos(pm[1:], n_pos, rows_np, c0, sel)
-                    else:
+                    cnts = pm[:FIND_BATCH]
+                    pos2 = pm[FIND_BATCH:].reshape(FIND_BATCH, -1)
+                    rows_full = np.zeros(FIND_BATCH, dtype=np.int64)
+                    rows_full[: len(rows_np)] = rows_np
+                    if int(cnts.max(initial=0)) > pos2.shape[1]:
                         collect(np.asarray(bits), rows_np, c0, sel)
+                    else:
+                        collect_rows(pos2, cnts, rows_full, c0, sel)
 
                 def gather_batches(hot, drows, c0, sel, kw):
                     """Re-verify ``hot`` (global full hot rows, ascending)
@@ -1070,44 +1081,18 @@ class Scanner:
                     for batch, (pm, bb) in zip(batches, handles):
                         collect_batch(pm, bb, batch, c0, sel)
 
-                def collect_groups(gp, nposs, g, c0, sel):
-                    """Decode the sweep's per-group compacted positions
-                    (groups whose hits fit cap_g); returns the list of
-                    overflowed group indices."""
-                    cap_g = gp.shape[1]
-                    over = []
-                    for gi in range(gp.shape[0]):
-                        npg = int(nposs[gi])
-                        if npg > cap_g:
-                            over.append(gi)
-                            continue
-                        if npg == 0:
-                            continue
-                        v = gp[gi, :npg].astype(np.int64)
-                        rloc = v // (p_all * wf)
-                        rest = v % (p_all * wf)
-                        pis = rest // wf
-                        ll = rest % wf
-                        base = c0 + (gi * g + rloc) * wf + ll
-                        for pi in range(p_all):
-                            if not sel[pi]:
-                                continue
-                            seg = base[pis == pi]
-                            if len(seg):
-                                dev_positions[pi].append(seg)
-                    return over
-
                 def finish_path(name, plens, sel, drows, c0, meta, pos,
                                 gpos, bits, rowmap):
                     kw = dict(kw_common, plens=plens)
                     mv = np.asarray(meta)
                     fcnt = mv[: len(plens)]
                     n_hot = int(mv[len(plens)])
-                    n_pos = int(mv[len(plens) + 1])
-                    idx = mv[len(plens) + 2 : len(plens) + 2 + FIND_BATCH]
-                    cs0 = len(plens) + 2 + FIND_BATCH
+                    i0 = len(plens) + 1
+                    idx = mv[i0 : i0 + FIND_BATCH]
+                    tailcnt = mv[i0 + FIND_BATCH : i0 + 2 * FIND_BATCH]
+                    cs0 = i0 + 2 * FIND_BATCH
                     clip_starts = mv[cs0 : cs0 + MAX_CLIP]
-                    nposs = mv[cs0 + MAX_CLIP :]  # sweep path: per-group
+                    gcnt = mv[cs0 + MAX_CLIP :]  # sweep path: per-row
                     clip_ranges[name].extend(
                         (int(cs), min(int(cs) + wf, dev_bound))
                         for cs in clip_starts
@@ -1119,33 +1104,27 @@ class Scanner:
                     if gpos is not None and n_hot > FIND_BATCH:
                         # Dense regime on the sweep path: ONE gpos fetch
                         # replaces the tail verdicts and every gather
-                        # batch; only groups past cap_g re-verify.
-                        g = r_rows // len(nposs)
-                        over = collect_groups(
-                            np.asarray(gpos), nposs, g, c0, sel
+                        # batch; only rows past POS_CAP re-verify (via
+                        # batches whose own bits fallback covers them).
+                        gp = np.asarray(gpos)
+                        collect_rows(
+                            gp, gcnt, np.arange(r_rows, dtype=np.int64),
+                            c0, sel,
                         )
-                        if over:
-                            rm = np.asarray(rowmap)
-                            hot_all = np.sum(rm, axis=1) > 0
-                            rows = []
-                            for gi in over:
-                                rr = np.arange(gi * g, (gi + 1) * g)
-                                rr = rr[hot_all[rr]]
-                                rr = rr[c0 + (rr + 1) * wf <= dev_bound]
-                                rows.append(rr)
-                            gather_batches(
-                                np.concatenate(rows), drows, c0, sel, kw
-                            )
+                        over = np.nonzero(gcnt > gp.shape[1])[0]
+                        if len(over):
+                            gather_batches(over, drows, c0, sel, kw)
                         return
                     n_first = min(n_hot, FIND_BATCH)
                     if n_first > 0:
-                        if n_pos <= pos.shape[0]:
-                            collect_pos(
-                                np.asarray(pos), n_pos, idx[:n_first], c0,
-                                sel,
-                            )
-                        else:
+                        if int(tailcnt.max(initial=0)) > POS_CAP:
                             collect(np.asarray(bits), idx[:n_first], c0, sel)
+                        else:
+                            rows_full = np.zeros(FIND_BATCH, dtype=np.int64)
+                            rows_full[:n_first] = idx[:n_first]
+                            collect_rows(
+                                np.asarray(pos), tailcnt, rows_full, c0, sel
+                            )
                     if n_hot > FIND_BATCH:
                         rm = np.asarray(rowmap)
                         hot = np.nonzero(np.sum(rm, axis=1) > 0)[0]

@@ -343,32 +343,57 @@ def count_hot_batch(
 # (n_batch * P * wf / 8 bytes — 512 KB/pattern at wf 8192).
 FIND_BATCH = 512
 
-# Static size of the device-compacted position vector per verdict-mask
-# batch. A batch's mask spans n_batch*p_real*wf windows; when it holds
-# <= POS_CAP hits the host fetches ONLY these flat indices (<= 512 KB)
-# instead of the multi-MB packed mask — on the tunneled link the mask
-# FETCH, not the kernel, was the dense-adversarial cliff (66 MB/s at
-# m=9/k=2 with every staging row hot but only ~3 hits/row, VERDICT r3
-# weak #6). Overflowing batches (> POS_CAP hits) fall back to the packed
-# mask, so the contract stays exact for every density.
-POS_CAP = 1 << 17
+# Per-ROW device position cap. Every verdict-mask row gets its first
+# POS_CAP hit positions extracted on device (lax.top_k) so the host
+# fetches a few KB of positions instead of multi-MB packed masks — on the
+# tunneled link the mask FETCH, not the kernel, was the dense-adversarial
+# cliff (66 MB/s at m=9/k=2 with every staging row hot but only ~3
+# hits/row, VERDICT r3 weak #6). A row holding more hits than the cap is
+# incomplete; its batch falls back to the packed mask (computed under a
+# lax.cond only in that case), so the contract stays exact for every
+# density. Measured on v5e over a 134M-element mask: top_k(32) 73 ms vs
+# 1.3 s for nonzero's cumsum lowering, 204 ms for an iterative
+# min-extract, 1.7 s for the unconditional bit-pack this replaces.
+POS_CAP = 32
 
 
-def _compact_positions(mask: jax.Array, p_real: int, wf: int,
-                       pos_cap: int = POS_CAP):
-    """Flat-index ``nonzero`` compaction of a ``(R, P, wf)`` verdict mask.
+def _row_topk_positions(mask: jax.Array, p_real: int, wf: int, c: int):
+    """Per-row ``top_k`` compaction of a ``(R, P, wf)`` verdict mask.
 
-    Returns ``(pos, n_pos)``: the first :data:`POS_CAP` flat indices into
-    ``(R, p_real, wf)`` holding a hit (ascending; -1 padding) and the
-    exact total hit count (so the caller knows whether ``pos`` is
-    complete). Flat order is (row-in-batch, pattern, window), so per
-    pattern the decoded positions ascend whenever the batch's row indices
-    ascend — matching the segment-ascending contract of the mask path.
+    Returns ``(pos, cnt)``: for each mask row, the first ``c`` hit
+    positions as ascending flat indices into ``(p_real, wf)`` (-1
+    padding), and the exact per-row hit count (a row with ``cnt > c`` is
+    incomplete — the caller must fall back to the packed mask for its
+    batch). Per pattern the decoded positions ascend within a row and
+    across ascending rows — the segment-ascending contract of the mask
+    path.
     """
-    flat = (mask[:, :p_real, :wf] != 0).reshape(-1)
-    n_pos = jnp.sum(flat.astype(jnp.int32))
-    pos = jnp.nonzero(flat, size=pos_cap, fill_value=-1)[0].astype(jnp.int32)
-    return pos, n_pos
+    r = mask.shape[0]
+    flat = (mask[:, :p_real, :wf] != 0).reshape(r, -1)
+    L = flat.shape[1]
+    cc = min(c, L)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (r, L), 1)
+    keys = jnp.where(flat, L - iota, 0)  # descending keys = ascending iota
+    v, _ = jax.lax.top_k(keys, cc)
+    pos = jnp.where(v > 0, L - v, -1).astype(jnp.int32)
+    if cc < c:
+        pos = jnp.pad(pos, ((0, 0), (0, c - cc)), constant_values=-1)
+    cnt = jnp.sum(flat.astype(jnp.int32), axis=1)
+    return pos, cnt
+
+
+def _bits_if(over: jax.Array, mask: jax.Array, p_real: int) -> jax.Array:
+    """Bit-pack ``mask`` only when ``over`` is true at runtime (some row
+    exceeded POS_CAP); zeros otherwise. The pack is expensive enough on
+    v5e (~13 ns/element: relayout-bound) that paying it on every chunk
+    erased the position-compaction win."""
+    r, _, wf = mask.shape
+    return jax.lax.cond(
+        over,
+        lambda m: _pack_mask_bits(m, p_real),
+        lambda m: jnp.zeros((r, p_real, wf // 32), jnp.uint32),
+        mask,
+    )
 
 
 def _pack_mask_bits(mask: jax.Array, p_real: int) -> jax.Array:
@@ -422,11 +447,11 @@ def gather_mask_rows(
     pos_cap: int = POS_CAP,
 ):
     """Gather hot rows out of the device staging and return ``(posmeta,
-    bits)``: the device-compacted hit positions ``[n_pos (1) | pos
-    (POS_CAP)]`` (see :func:`_compact_positions`) and the bit-packed
-    per-window verdict mask ``(n_batch, p_real, wf//32) uint32`` (see
-    :func:`_pack_mask_bits`). The caller fetches the small ``posmeta``
-    first and touches ``bits`` only when ``n_pos > POS_CAP``.
+    bits)``: the per-row device-compacted hit positions ``[cnt (n_batch)
+    | pos (n_batch * pos_cap)]`` (see :func:`_row_topk_positions`) and
+    the bit-packed per-window verdict mask ``(n_batch, p_real, wf//32)
+    uint32`` — which is COMPUTED (and may be fetched) only when some
+    row's ``cnt`` exceeds ``pos_cap``; zeros otherwise.
 
     The gather stays on device (the staging is already resident), the
     banded kernel re-runs only the gathered rows, and the caller maps
@@ -444,13 +469,9 @@ def gather_mask_rows(
         dp_dtype=dp_dtype, alphabet=alphabet, dp_impl=dp_impl,
         interpret=interpret,
     )
-    # ~32 hits/row before this batch falls back to the packed mask;
-    # pos_cap stays the ceiling (and the test knob).
-    pos, n_pos = _compact_positions(
-        mask, p_real, wf, min(pos_cap, 32 * idx.shape[0])
-    )
-    posmeta = jnp.concatenate([n_pos.reshape(1), pos])
-    return posmeta, _pack_mask_bits(mask, p_real)
+    pos, cnt = _row_topk_positions(mask, p_real, wf, pos_cap)
+    posmeta = jnp.concatenate([cnt, pos.reshape(-1)])
+    return posmeta, _bits_if(jnp.any(cnt > pos_cap), mask, p_real)
 
 
 @_dp_mode_shim
@@ -487,10 +508,11 @@ def find_positions_chunk(
     mask re-verification all run in ONE device program, mirroring
     :func:`filter_verify_chunk`'s latency discipline: the host fetches a
     single small ``meta`` int32 vector — layout ``[fcnt (P) | n_hot (1) |
-    n_pos (1) | idx (n_batch) | clip_starts (MAX_CLIP)]`` — then the
-    device-compacted hit positions ``pos`` when ``n_pos <= POS_CAP``
-    (the common case: KBs instead of MBs over the link), else the
-    bit-packed verdicts ``(n_batch, p_real, wf//32) uint32``.
+    idx (n_batch) | cnt (n_batch) | clip_starts (MAX_CLIP)]`` — then the
+    per-row device-compacted hit positions ``pos (n_batch, pos_cap)``
+    when every row's ``cnt`` fits ``pos_cap`` (the common case: KBs
+    instead of MBs over the link), else the bit-packed verdicts
+    ``(n_batch, p_real, wf//32) uint32`` (computed only in that case).
     Zero-candidate chunks cost one fetch; sparse and dense matches alike
     resolve positions at device speed. ``rowmap`` stays on device and is
     fetched only when ``n_hot > n_batch`` (overflow → further
@@ -548,14 +570,12 @@ def _positions_tail(
     clip_starts = jnp.where(
         clip_idx >= 0, start + clip_idx.astype(jnp.int32) * wf, -1
     )
-    pos, n_pos = _compact_positions(
-        mask, p_real, wf, min(pos_cap, 32 * n_batch)
-    )
+    pos, cnt = _row_topk_positions(mask, p_real, wf, pos_cap)
     meta = jnp.concatenate(
-        [fcnt.astype(jnp.int32), n_hot.reshape(1), n_pos.reshape(1), idx,
-         clip_starts]
+        [fcnt.astype(jnp.int32), n_hot.reshape(1), idx, cnt, clip_starts]
     )
-    return meta, pos, _pack_mask_bits(mask, p_real), rowmap
+    bits = _bits_if(jnp.any(cnt > pos_cap), mask, p_real)
+    return meta, pos, bits, rowmap
 
 
 # HBM budget for the dense sweep's per-group mask transient. The mask
@@ -603,19 +623,20 @@ def sweep_positions_chunk(
     map then feeds the same compaction / re-verification /
     position-compaction tail as the filtration path (the sparse regime's
     contract), PLUS — because every group's exact verdict mask already
-    exists inside the sweep — a per-group device compaction ``gpos
-    (n_groups, cap_g) int32`` of full-row hit positions with per-group
-    totals appended to ``meta``. In the dense regime (``n_hot >
-    n_batch``) the host fetches ``gpos`` ONCE and decodes every position
-    straight out of the sweep — no re-verification batches, no
-    multi-round-trip gathers (the r3 dense-adversarial cliff: 66 MB/s at
-    m=9/k=2 was fetch- and batch-bound, VERDICT r3 weak #6); only groups
-    whose hits exceed ``cap_g`` fall back to :func:`gather_mask_rows`.
+    exists inside the sweep — a per-ROW device compaction ``gpos
+    (R, pos_cap) int32`` of full-row hit positions, with the per-row
+    full-hit counts ``gcnt (R)`` appended to ``meta``. In the dense
+    regime (``n_hot > n_batch``) the host fetches ``gpos`` ONCE and
+    decodes every position straight out of the sweep — no
+    re-verification batches, no multi-round-trip gathers (the r3
+    dense-adversarial cliff: 66 MB/s at m=9/k=2 was fetch- and
+    batch-bound, VERDICT r3 weak #6); only rows whose hits exceed
+    ``pos_cap`` fall back to :func:`gather_mask_rows`.
 
     Returns ``(meta, pos, gpos, bits, rowmap)`` where ``meta`` is the
-    tail layout with ``nposs (n_groups)`` appended:
-    ``[fcnt (P) | n_hot | n_pos | idx (n_batch) | clip_starts (MAX_CLIP)
-    | nposs (n_groups)]``.
+    tail layout with ``gcnt (R)`` appended:
+    ``[fcnt (P) | n_hot | idx (n_batch) | cnt (n_batch) | clip_starts
+    (MAX_CLIP) | gcnt (R)]``.
     """
     from .pallas_kernel import _DTYPE_FOLD, scan_folded_pallas_mask
 
@@ -632,10 +653,6 @@ def sweep_positions_chunk(
         if r_rows % d == 0 and d % fold == 0
     )
     n_groups = r_rows // g
-    # Per-group position budget: ~32 hits per row before a group falls
-    # back to the gather path; bounded by pos_cap so a monkeypatched /
-    # reconfigured cap shrinks every tier consistently.
-    cap_g = int(min(pos_cap, max(2048, 32 * g)))
 
     def one_group(g0):
         stage = jax.lax.dynamic_slice_in_dim(corpus_rows, g0 * g, g, axis=0)
@@ -648,22 +665,20 @@ def sweep_positions_chunk(
         interpret=interpret,
         )
         rowcnt = jnp.sum(mask.astype(jnp.int32), axis=2)  # (g, P)
-        # Group-local position compaction over FULL rows only (clipped
-        # rows resolve host-side, same split as _positions_tail).
+        # Per-row position compaction over FULL rows only (clipped rows
+        # resolve host-side, same split as _positions_tail).
         ridx = g0 * g + jnp.arange(g, dtype=jnp.int32)
         full = (start + (ridx + 1) * wf) <= bound
-        flat = jnp.logical_and(
-            mask[:, :p_real, :wf] != 0, full[:, None, None]
-        ).reshape(-1)
-        npos_g = jnp.sum(flat.astype(jnp.int32))
-        pos_g = jnp.nonzero(flat, size=cap_g, fill_value=-1)[0].astype(
-            jnp.int32
+        pos_g, cnt_g = _row_topk_positions(
+            jnp.where(full[:, None, None], mask, 0), p_real, wf, pos_cap
         )
-        return rowcnt, npos_g, pos_g
+        return rowcnt, cnt_g, pos_g
 
-    grp, nposs, gpos = jax.lax.map(
+    grp, gcnt, gpos = jax.lax.map(
         one_group, jnp.arange(n_groups, dtype=jnp.int32)
     )
+    gcnt = gcnt.reshape(r_rows)
+    gpos = gpos.reshape(r_rows, -1)
     rowmap = grp.reshape(r_rows, -1)
     fcnt = jnp.sum(rowmap, axis=0)
     meta, pos, bits, rowmap = _positions_tail(
@@ -672,7 +687,7 @@ def sweep_positions_chunk(
         n_batch=n_batch, dp_dtype=dp_dtype, alphabet=alphabet, dp_impl=dp_impl,
         interpret=interpret, pos_cap=pos_cap,
     )
-    meta = jnp.concatenate([meta, nposs.astype(jnp.int32)])
+    meta = jnp.concatenate([meta, gcnt.astype(jnp.int32)])
     return meta, pos, gpos, bits, rowmap
 
 
