@@ -52,7 +52,10 @@ def test_sharding_overhead_bounded(strategy):
         ),
         corpus,
     )
-    # Generous bound: sharded-by-8 on shared cores must stay within 4x of
-    # the single-device time (typical observed: 0.7-1.6x, see
-    # bench/scaling_cpu8.jsonl).
-    assert t8 <= 4 * t1 + 0.25, (t1, t8)
+    # Bound set from the regenerated 32 MB sweep (bench/scaling_cpu8.jsonl,
+    # session 2026-08-20): every 8-device configuration beat single-device
+    # (efficiency 1.61-1.80), and the worst overhead ratio anywhere in the
+    # sweep — interpret-mode database at 8x 128 KB shards, where per-shard
+    # block padding dominates — was t8 = 1.62 * t1. 2.5x + 0.25 s leaves
+    # CI-variance headroom over that worst case (was 4x before the data).
+    assert t8 <= 2.5 * t1 + 0.25, (t1, t8)
