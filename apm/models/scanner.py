@@ -1487,8 +1487,28 @@ class Scanner:
         if strategy == "auto":
             from ..parallel.plan import choose_strategy
 
+            # The corr engine's throughput is flat in P (DESIGN §8), so
+            # pattern sharding would replicate the corpus encode per
+            # device for nothing — mirror make_plan's eligibility gate.
+            flat_p = False
+            if self.k == 0 and self._resolve_backend() == "pallas":
+                from ..ops.corr_engine import corr_eligible
+
+                if self.config.engine in ("auto", "corr"):
+                    flat_p = corr_eligible(
+                        self._plens_static,
+                        len(self._corr_alphabet()),
+                        self.m_max,
+                        self.k,
+                        auto=self.config.engine == "auto",
+                    )
             strategy = choose_strategy(
-                n, self.m_max, self.scan_patterns.num_patterns, self.k, n_dev
+                n,
+                self.m_max,
+                self.scan_patterns.num_patterns,
+                self.k,
+                n_dev,
+                flat_p_engine=flat_p,
             )
 
         if strategy == "single" or n_dev == 1:

@@ -38,28 +38,48 @@ def get_ratio(x: float) -> float:
     return x - 1
 
 
-def choose_strategy(n: int, m_max: int, p: int, k: int, n_dev: int) -> str:
-    """Pick the mesh axis to shard. Mirrors the spirit of ``main.c:88-139``.
+def choose_strategy(
+    n: int,
+    m_max: int,
+    p: int,
+    k: int,
+    n_dev: int,
+    *,
+    flat_p_engine: bool = False,
+) -> str:
+    """Pick the mesh axis to shard. The reference derived its crossover
+    from the ``getRatio`` waste metric (``main.c:88-139``,
+    ``Workflow.md:100-271``); this rule is set from a measured grid
+    instead (``bench/crossover.py`` → ``bench/crossover_cpu8.jsonl``,
+    8-device mesh, session 2026-08-20, corpus 64 KB-4 MB x P 8-128,
+    k = 1, 3 reps):
 
-    The window axis has ``n - k`` elements, the pattern axis ``p``. Sharding
-    windows (database_over_devices) is right whenever windows outnumber
-    devices — i.e. essentially always; the halo overhead is
-    ``n_dev * m_max`` bytes total. Sharding patterns only wins when the
-    corpus replica cost dominates and patterns split evenly, the analog of
-    the reference's ``ratioPatterns < ratioDatabase`` branch
-    (``main.c:118-122``).
+    * ``p == n_dev`` (one pattern per device — zero padding on either
+      axis, no halo staging, no psum): patterns-over-devices won at
+      EVERY corpus size, 1.22-3.88x (db_t/pat_t; the 3.88 is 64 KB
+      where strategy-B per-shard fixed costs dominate).
+    * ``p >= 4*n_dev``: statistical tie (0.79-1.14 across the grid) —
+      both axes split cleanly; database wins the tie because its halo
+      (``n_dev * m_max`` bytes total) is cheaper than replicating the
+      corpus to every device, and its shards parallelize the staging.
+    * ``p < n_dev``: patterns would idle ``n_dev - p`` devices entirely
+      — database sharding uses all of them.
+
+    Round 1 asserted ``nw < 4*n_dev*1024 and p >= 8*n_dev`` (tiny
+    corpus, many patterns) from the then-slow dynamic-length path; the
+    measured grid shows that region is a tie, so the rule collapsed to
+    the one measured win (VERDICT r3 ask #4).
+
+    ``flat_p_engine=True`` pins database: the k = 0 correlation engine's
+    throughput is flat in P (DESIGN §8 — marginal patterns ride idle MXU
+    columns), so replicating the corpus encode per device is pure loss.
     """
     if n_dev <= 1:
         return "single"
     nw = max(n - k, 0)
     if nw < n_dev:  # degenerate: fewer windows than devices
         return "single"
-    # Patterns-over-devices pays replication of the corpus on every device;
-    # windows-over-devices pays a halo of m_max bytes per device. Patterns
-    # win only if they divide perfectly AND each device still gets enough
-    # windows*patterns work to saturate (tiny corpora, many patterns).
-    ratio_pat = get_ratio(n_dev / p)  # reference arg order, main.c:93
-    if ratio_pat == 0.0 and nw < 4 * n_dev * 1024 and p >= n_dev * 8:
+    if not flat_p_engine and p == n_dev:
         return "patterns_over_devices"
     return "database_over_devices"
 

@@ -142,10 +142,27 @@ def test_get_ratio_reference_parity():
 
 
 def test_choose_strategy_shapes():
+    """Pins the measured crossover rule (bench/crossover_cpu8.jsonl,
+    session 2026-08-20): patterns-over-devices wins exactly at
+    p == n_dev (1.22-3.88x at every corpus size); p >= 4*n_dev is a
+    measured tie (0.79-1.14) -> database; p < n_dev idles devices ->
+    database."""
     assert choose_strategy(10**6, 50, 6, 0, 1) == "single"
     assert choose_strategy(10**6, 50, 6, 0, 8) == "database_over_devices"
-    # tiny corpus, many perfectly-dividing patterns -> pattern sharding
-    assert choose_strategy(2000, 50, 64, 0, 8) == "patterns_over_devices"
+    # one pattern per device: the measured patterns-over-devices win,
+    # at any corpus size
+    assert choose_strategy(64 << 10, 50, 8, 1, 8) == "patterns_over_devices"
+    assert choose_strategy(4 << 20, 50, 8, 1, 8) == "patterns_over_devices"
+    # many patterns (the round-1 folklore region): measured tie -> database
+    assert choose_strategy(2000, 50, 64, 0, 8) == "database_over_devices"
+    assert choose_strategy(64 << 10, 50, 128, 1, 8) == "database_over_devices"
+    # flat-in-P engine (k=0 corr): replicating the encode is pure loss
+    assert (
+        choose_strategy(64 << 10, 50, 8, 0, 8, flat_p_engine=True)
+        == "database_over_devices"
+    )
+    # fewer windows than devices: degenerate -> single
+    assert choose_strategy(6, 50, 8, 1, 8) == "single"
 
 
 def test_plan_block_windows_bounds():
