@@ -129,6 +129,27 @@ def test_auto_strategy_picks_and_matches():
     assert got.tolist() == count_matches(corpus, pats, 1)
 
 
+def test_auto_strategy_p_eq_ndev_routes_patterns():
+    """End-to-end: with one pattern per device the measured crossover
+    routes auto scans to patterns_over_devices (DESIGN §3 crossover
+    matrix), and the counts still match the oracle."""
+    import jax
+
+    n_dev = len(jax.devices())
+    corpus = random_dna(32 << 10, seed=41)
+    pats = [random_dna(40, seed=300 + i) for i in range(n_dev)]
+    sc = mk_scanner(pats, 1, "auto")
+    got = sc.count(corpus)
+    assert sc.last_strategy == "patterns_over_devices"
+    assert got.tolist() == count_matches(corpus, pats, 1)
+    # one more pattern breaks the p == n_dev equality -> database
+    pats2 = pats + [random_dna(40, seed=999)]
+    sc2 = mk_scanner(pats2, 1, "auto")
+    got2 = sc2.count(corpus)
+    assert sc2.last_strategy == "database_over_devices"
+    assert got2.tolist() == count_matches(corpus, pats2, 1)
+
+
 # -- planner unit tests -------------------------------------------------------
 
 
