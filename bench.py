@@ -315,6 +315,30 @@ def main() -> int:
             _log(f"steady_state_512mb_k0 FAILED: {e!r}")
             extras["steady_state_512mb_k0_error"] = repr(e)[:200]
 
+    # Large-corpus k=1: same chunk shape (and so the same compiled
+    # program) as the 256 MB k=1 extra, but two chunks — shows the k>=1
+    # ceiling once the per-call fixed cost (~15 ms tunnel RTT +
+    # dispatch) is amortized over twice the bytes.
+    if budget("steady_state_512mb_k1_planted"):
+        try:
+            from apm.utils.corpus import plant
+
+            syn512k = alpha[rng.integers(0, 5, size=(2 * BIG_MB) << 20)]
+            plant(syn512k, p1,
+                  list(range(5000, ((2 * BIG_MB) - 6) << 20, 1 << 20)),
+                  k=1, seed=11)
+            syn512k.setflags(write=False)
+            sc512k = apm.Scanner(pats, k=1)
+            sc512k.count(syn512k)
+            _metric(
+                extras, "steady_state_512mb_k1_planted", len(syn512k),
+                _time_stats(lambda: sc512k.count(syn512k), 5), sc512k,
+            )
+            del syn512k, sc512k
+        except Exception as e:
+            _log(f"steady_state_512mb_k1_planted FAILED: {e!r}")
+            extras["steady_state_512mb_k1_planted_error"] = repr(e)[:200]
+
     _log(f"done; {len(skipped)} extras skipped {skipped or ''}")
     _emit(payload())
     return 0
