@@ -150,6 +150,30 @@ def test_auto_strategy_p_eq_ndev_routes_patterns():
     assert got2.tolist() == count_matches(corpus, pats2, 1)
 
 
+def test_auto_strategy_corr_pins_database():
+    """k = 0 with a corr-eligible pattern set must stay on database
+    sharding even at p == n_dev: the corr engine is flat in P (DESIGN
+    §8), so pattern sharding would replicate the corpus encode per
+    device for nothing (the flat_p_engine guard)."""
+    import jax
+
+    n_dev = len(jax.devices())
+    corpus = random_dna(8 << 10, seed=53)
+    # 50-char DNA patterns: corr-eligible (m_max >= 48, alphabet <= 16)
+    pats = [random_dna(50, seed=400 + i) for i in range(n_dev)]
+    cfg = ApmConfig(backend="pallas", interpret=True, strategy="auto",
+                    block_windows=1024)
+    sc = Scanner(pats, 0, cfg)
+    got = sc.count(corpus)
+    assert sc.last_strategy == "database_over_devices"
+    assert got.tolist() == count_matches(corpus, pats, 0)
+    # the same shapes at k = 1 are not corr-eligible -> patterns again
+    sc1 = Scanner(pats, 1, cfg)
+    got1 = sc1.count(corpus)
+    assert sc1.last_strategy == "patterns_over_devices"
+    assert got1.tolist() == count_matches(corpus, pats, 1)
+
+
 # -- planner unit tests -------------------------------------------------------
 
 
