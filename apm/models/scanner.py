@@ -96,12 +96,15 @@ class Scanner:
         # when a shared fold cache is attached (_pattern_shard_scanners),
         # so all sub-scanners serialize on one lock.
         self._fold_cache_lock = threading.Lock()
+        # Guards _dev_cache mutation and iteration: the background prewarm
+        # thread (warmup's purge) runs concurrently with foreground scans'
+        # _staged_rows insert/evict, and dict iteration during a
+        # concurrent pop raises RuntimeError.
+        self._dev_cache_lock = threading.RLock()
         # id -> (weakref, fp) memo for immutable buffers (_corpus_fp).
         self._fp_memo: dict = {}
         self._prewarm_thread = None
         if self.config.prewarm_bytes:
-            import threading
-
             self._prewarm_thread = threading.Thread(
                 target=self._prewarm_run,
                 args=(int(self.config.prewarm_bytes),),
@@ -217,6 +220,17 @@ class Scanner:
         ``id`` ever aliasing a different array. Writable buffers are
         re-hashed every call — an in-place mutation must change the key
         (ADVICE r1 #2).
+
+        CONTRACT: freezing a buffer is a promise it will never change
+        again. Thawing a scanned frozen buffer with
+        ``setflags(write=True)``, mutating it in place, and re-freezing
+        it is UNSUPPORTED (use a fresh array, or leave the buffer
+        writable and pay the per-call re-hash): the memo validates hits
+        with a sampled check (:meth:`_fp_sample`) that catches coarse
+        content swaps but — necessarily, or it would be the full hash —
+        not arbitrary localized mutations, and a hit then serves counts
+        for the old content. Documented in ``ApmConfig.cache_corpus``
+        (ADVICE r3 #2 offered exactly this contract as the remedy).
         """
         if not self.config.cache_corpus:
             return None
@@ -247,16 +261,18 @@ class Scanner:
     @staticmethod
     def _fp_sample(buf: np.ndarray) -> tuple:
         """Cheap content sample validating `_fp_memo` hits: length plus
-        64 bytes at each of 9 evenly spaced offsets (O(1), no full pass).
-        Not a substitute for the full hash — just enough that in-place
-        mutation of a re-frozen buffer is caught with high probability."""
+        64 bytes at each of 33 evenly spaced offsets (~2 KB, O(1), no
+        full pass). This catches coarse content changes (a swapped or
+        re-sliced buffer, a bulk overwrite) — NOT arbitrary localized
+        mutations of a thawed-and-refrozen buffer, which the memo
+        contract excludes (see :meth:`_corpus_fp`)."""
         n = buf.size
         if n == 0:
             return (0,)
         flat = buf.reshape(-1)
         parts = [n]
-        for i in range(9):
-            off = (n - 1) * i // 8
+        for i in range(33):
+            off = (n - 1) * i // 32
             parts.append(flat[off:off + 64].tobytes())
         return tuple(parts)
 
@@ -365,9 +381,12 @@ class Scanner:
         """Device-resident folded staging rows for one chunk (LRU-cached,
         byte-bounded)."""
         key = (fp, wf, halo, n_rows, c0)
-        if fp is not None and key in self._dev_cache:
-            self._dev_cache[key] = self._dev_cache.pop(key)  # mark recent
-            return self._dev_cache[key]
+        if fp is not None:
+            with self._dev_cache_lock:
+                if key in self._dev_cache:
+                    # mark recent
+                    self._dev_cache[key] = self._dev_cache.pop(key)
+                    return self._dev_cache[key]
         fc = self._fold_cache
         rows = fc.get(key) if (fc is not None and fp is not None) else None
         if rows is None:
@@ -387,11 +406,16 @@ class Scanner:
         if fp is not None:
             budget = self._cache_byte_budget()
             if drows.nbytes <= budget:
-                self._dev_cache[key] = drows
-                total = sum(v.nbytes for v in self._dev_cache.values())
-                while total > budget and len(self._dev_cache) > 1:
-                    old = self._dev_cache.pop(next(iter(self._dev_cache)))
-                    total -= old.nbytes
+                with self._dev_cache_lock:
+                    self._dev_cache[key] = drows
+                    total = sum(
+                        v.nbytes for v in self._dev_cache.values()
+                    )
+                    while total > budget and len(self._dev_cache) > 1:
+                        old = self._dev_cache.pop(
+                            next(iter(self._dev_cache))
+                        )
+                        total -= old.nbytes
         return drows
 
     def _count_pallas(
@@ -735,10 +759,21 @@ class Scanner:
     def _warmup_serving(self, n: int, paths: Sequence[str]) -> None:
         """Drive find()/count_batch on a zero corpus to absorb their
         compiles (see :meth:`warmup`), leaving the corpus caches as they
-        were."""
-        dev_keys = set(self._dev_cache)
-        fold_keys = set(self._fold_cache or ())
+        were.
+
+        The purge is scoped by the zero corpus's FINGERPRINT (every
+        ``_dev_cache``/``_fold_cache`` key carries the fp first), not a
+        before/after key diff: warmup may run on the background prewarm
+        thread concurrently with real foreground scans, and a key diff
+        would evict whatever the foreground scan staged meanwhile. The
+        zero buffer is writable, so ``_corpus_fp`` never memoizes it —
+        no ``_fp_memo`` cleanup is needed (round 4 cleared the whole
+        memo here, dropping real corpora's memoized fingerprints).
+        """
         zeros = np.zeros((n,), dtype=np.uint8)
+        warm_fp = (
+            self._fingerprint(zeros) if self.config.cache_corpus else None
+        )
         try:
             if "find" in paths:
                 self.find(zeros)
@@ -746,15 +781,20 @@ class Scanner:
             if "batch" in paths:
                 self.count_batch([zeros])
         finally:
-            for key in [k2 for k2 in self._dev_cache if k2 not in dev_keys]:
-                self._dev_cache.pop(key, None)
-            if self._fold_cache is not None:
-                with self._fold_cache_lock:
+            if warm_fp is not None:
+                with self._dev_cache_lock:
                     for key in [
-                        k2 for k2 in self._fold_cache if k2 not in fold_keys
+                        k2 for k2 in self._dev_cache if k2[0] == warm_fp
                     ]:
-                        self._fold_cache.pop(key, None)
-            self._fp_memo.clear()
+                        self._dev_cache.pop(key, None)
+                if self._fold_cache is not None:
+                    with self._fold_cache_lock:
+                        for key in [
+                            k2
+                            for k2 in self._fold_cache
+                            if k2[0] == warm_fp
+                        ]:
+                            self._fold_cache.pop(key, None)
 
     def _warmup_gather(self, n: int) -> None:
         """Compile find()'s overflow-batch kernel (``gather_mask_rows``)

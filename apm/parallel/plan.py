@@ -38,6 +38,13 @@ def get_ratio(x: float) -> float:
     return x - 1
 
 
+# Upper window-count bound for pattern sharding: 4x the largest corpus in
+# the measured crossover grid (4 MB; bench/crossover_cpu8.jsonl). Beyond
+# it the un-measured corpus-replication transfer cost dominates on real
+# multi-chip hardware, so the window axis is sharded instead.
+PATTERNS_NW_MAX = 16 << 20
+
+
 def choose_strategy(
     n: int,
     m_max: int,
@@ -65,6 +72,16 @@ def choose_strategy(
     * ``p < n_dev``: patterns would idle ``n_dev - p`` devices entirely
       — database sharding uses all of them.
 
+    The rule applies only inside (4x of) the measured corpus range:
+    patterns-over-devices replicates the corpus to every device, a cost
+    that grows with ``n`` and that the shared-memory CPU mesh
+    structurally cannot observe (replication there is free; on real
+    multi-chip hardware it is ``n_dev``x the h2d bytes). The measured
+    win narrows with size (3.88x at 64 KB -> 1.22x at 4 MB), so beyond
+    ``PATTERNS_NW_MAX`` (16 MB of windows = 4x the largest measured
+    point) database sharding — which transfers each corpus byte once —
+    is the safe default.
+
     Round 1 asserted ``nw < 4*n_dev*1024 and p >= 8*n_dev`` (tiny
     corpus, many patterns) from the then-slow dynamic-length path; the
     measured grid shows that region is a tie, so the rule collapsed to
@@ -79,7 +96,7 @@ def choose_strategy(
     nw = max(n - k, 0)
     if nw < n_dev:  # degenerate: fewer windows than devices
         return "single"
-    if not flat_p_engine and p == n_dev:
+    if not flat_p_engine and p == n_dev and nw <= PATTERNS_NW_MAX:
         return "patterns_over_devices"
     return "database_over_devices"
 

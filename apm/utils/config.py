@@ -58,6 +58,11 @@ class ApmConfig:
     dp_impl: str = "auto"
     # Keep the staged corpus device-resident between count() calls (keyed by
     # a full-content hash) so repeated scans skip host->device transfer.
+    # Buffers frozen with setflags(write=False) additionally memoize their
+    # hash by identity; freezing is a promise the content is final —
+    # thawing a scanned frozen buffer, mutating it in place, and
+    # re-freezing it is unsupported (pass a fresh array, or keep the
+    # buffer writable to be re-hashed every call).
     cache_corpus: bool = True
     # Byte budget for the device-resident corpus cache. None = a quarter of
     # the device's reported HBM (fallback 4 GiB when unknown).

@@ -247,9 +247,17 @@ def main() -> int:
             _log(f"latency_bound_1p6mb_k0 FAILED: {e!r}")
             extras["latency_bound_1p6mb_k0_error"] = repr(e)[:200]
 
-    # 256 MB synthetic corpus shared by the k>=1 and many-pattern extras
-    # (allocated once, outside any metric's try block — ADVICE r3 #3).
-    syn256 = alpha[rng.integers(0, 5, size=BIG_MB << 20)]
+    # 256 MB synthetic corpus shared by the k>=1 and many-pattern extras —
+    # allocated lazily on first use (a run that reaches the extras with no
+    # budget left must not burn deadline generating an unused corpus) but
+    # OUTSIDE any metric's try block once made, so a failing extra cannot
+    # leave a later one with a NameError (ADVICE r3 #3).
+    _syn256_box = []
+
+    def get_syn256():
+        if not _syn256_box:
+            _syn256_box.append(alpha[rng.integers(0, 5, size=BIG_MB << 20)])
+        return _syn256_box[0]
 
     # k=1 / k=2 with REAL matches present: planted fuzzy occurrences
     # exercise conv phase 1 + on-device verification end to end on a
@@ -261,7 +269,7 @@ def main() -> int:
         try:
             from apm.utils.corpus import plant
 
-            syn_k = syn256.copy()
+            syn_k = get_syn256().copy()
             plant(syn_k, p1,
                   list(range(5000, (BIG_MB - 6) << 20, 1 << 20)),
                   k=kk, seed=7)
@@ -286,6 +294,7 @@ def main() -> int:
             pats64 = [
                 bytes(alpha[rng.integers(0, 4, size=50)]) for _ in range(64)
             ]
+            syn256 = get_syn256()
             syn256.setflags(write=False)
             sc_p64 = apm.Scanner(pats64, 0)
             sc_p64.count(syn256)

@@ -128,8 +128,12 @@ def main() -> int:
     print("\npatterns-over-devices advantage (db_t / pat_t; > 1 = patterns wins)")
     print("| bytes \\ P | " + " | ".join(str(p) for p in pcounts) + " |")
     for size in sizes:
-        row = [f"{grid.get((size, p), float('nan')):.2f}"
-               for p in pcounts if (size, p) in grid]
+        # "-" placeholder for corners skipped by the affordability cap so
+        # every ratio prints under its own P column header.
+        row = [
+            f"{grid[(size, p)]:.2f}" if (size, p) in grid else "-"
+            for p in pcounts
+        ]
         print(f"| {size >> 10} KB | " + " | ".join(row) + " |")
     wins = [k for k, v in grid.items() if v > 1.05]
     print("\npatterns wins at:", sorted(wins) or "nowhere")

@@ -109,6 +109,34 @@ def test_count_correct_after_freezing_and_new_buffer():
     assert sc.count(b).tolist() == count_matches(b, [pat], 0)
 
 
+def test_warmup_purge_scoped_to_zero_corpus():
+    """warmup() may run on the background prewarm thread concurrently
+    with real scans — its cache purge must remove only the zero-corpus
+    entries it staged, never the foreground corpus's device staging or
+    its memoized fingerprint (round-4 review: the snapshot-diff purge
+    evicted concurrent foreground keys, and _fp_memo.clear() dropped
+    every memoized fingerprint)."""
+    pat = b"ACGTACGTAC"
+    # single-device: the sharded paths stage per-shard and don't use the
+    # device-corpus cache this test inspects
+    sc = Scanner([pat], 0, ApmConfig(strategy="single", **PALLAS))
+    real = random_dna(20_000, seed=21)
+    real.setflags(write=False)
+    want = count_matches(real, [pat], 0)
+    assert sc.count(real).tolist() == want
+    keys_before = set(sc._dev_cache)
+    assert keys_before
+    assert id(real) in sc._fp_memo
+    sc.warmup(20_000)
+    # the real corpus's staging and memoized fingerprint survive
+    assert keys_before <= set(sc._dev_cache)
+    assert id(real) in sc._fp_memo
+    # ... and no zero-corpus entry lingers in either cache
+    zfp = Scanner._fingerprint(np.zeros(20_000, np.uint8))
+    assert all(k[0] != zfp for k in sc._dev_cache)
+    assert sc.count(real).tolist() == want
+
+
 def test_as_u8_multi_element_string_array_rejected():
     from apm.utils.oracle import as_u8
 

@@ -195,9 +195,12 @@ def test_choose_strategy_shapes():
     assert choose_strategy(10**6, 50, 6, 0, 1) == "single"
     assert choose_strategy(10**6, 50, 6, 0, 8) == "database_over_devices"
     # one pattern per device: the measured patterns-over-devices win,
-    # at any corpus size
+    # across the measured corpus range
     assert choose_strategy(64 << 10, 50, 8, 1, 8) == "patterns_over_devices"
     assert choose_strategy(4 << 20, 50, 8, 1, 8) == "patterns_over_devices"
+    # past 4x the measured range the replication cost (invisible on the
+    # CPU mesh) rules patterns out
+    assert choose_strategy(64 << 20, 50, 8, 1, 8) == "database_over_devices"
     # many patterns (the round-1 folklore region): measured tie -> database
     assert choose_strategy(2000, 50, 64, 0, 8) == "database_over_devices"
     assert choose_strategy(64 << 10, 50, 128, 1, 8) == "database_over_devices"
