@@ -42,6 +42,7 @@ def get_ratio(x: float) -> float:
 # the measured crossover grid (4 MB; bench/crossover_cpu8.jsonl). Beyond
 # it the un-measured corpus-replication transfer cost dominates on real
 # multi-chip hardware, so the window axis is sharded instead.
+# CPU-mesh-calibrated: see the health warning in choose_strategy.
 PATTERNS_NW_MAX = 16 << 20
 
 
@@ -86,6 +87,16 @@ def choose_strategy(
     corpus, many patterns) from the then-slow dynamic-length path; the
     measured grid shows that region is a tie, so the rule collapsed to
     the one measured win (VERDICT r3 ask #4).
+
+    **Health warning — CPU-mesh calibration.** The ``p == n_dev`` win
+    and ``PATTERNS_NW_MAX`` were measured on an 8-device *virtual CPU
+    mesh*, where "replicating the corpus to every device" is a no-op
+    (shared host memory). On real multi-chip hardware that replication
+    is ``n_dev``x the h2d bytes plus ``n_dev``x the per-device encode —
+    a cost this calibration structurally cannot see, so the crossover
+    may flip well below ``PATTERNS_NW_MAX``. Treat the rule as a
+    CPU-mesh artifact: re-measure the ``bench/crossover.py`` grid on
+    silicon before trusting it for multi-chip deployment (DESIGN §3).
 
     ``flat_p_engine=True`` pins database: the k = 0 correlation engine's
     throughput is flat in P (DESIGN §8 — marginal patterns ride idle MXU

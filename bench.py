@@ -1,10 +1,22 @@
 #!/usr/bin/env python
 """Headline benchmark on one TPU chip.
 
-Primary metric: steady-state corpus throughput at k = 0 on a 64 MB corpus
-with the reference's own "Big" pattern set (1x 32-char non-existent +
-5x 50-char line_20783) — large enough that the tunnel's fixed ~30 ms
-per-call latency is amortized, so this measures the chip, not the link.
+Primary metric (r5): steady-state corpus throughput at k = 0 on a
+256 MB corpus with the reference's own "Big" pattern set (1x 32-char
+non-existent + 5x 50-char line_20783) and planted exact occurrences.
+256 MB is one full chunk (``ApmConfig.chunk_bytes``): the testbed's
+fixed ~15-30 ms per-call link cost is < 3% of the scan, so the number
+measures the chip. Round 4's 64 MB primary measured the tunnel round
+trip instead (1.44 GB/s reported vs 7.7-8.0 GB/s at >= 256 MB in the
+SAME capture — VERDICT r4 weak #1); it is demoted to the explicit
+``latency_floor_64mb_6pat_k0`` extra below.
+
+Link calibration (VERDICT r4 weak #5): session-to-session tunnel
+bandwidth swings ~2x, so every capture carries
+``link_roundtrip_mb_per_s`` — a raw ``device_put`` + fetch round trip
+of a 128 MB buffer, no compiled code in the loop — letting future
+cross-session comparisons normalize by link health instead of
+eyeballing.
 
 ``vs_baseline`` compares against the reference's best recorded all-in
 throughput on its own headline workload: 1,591,301 bytes in 3.89 s on
@@ -40,11 +52,16 @@ MFU/roofline accounting (VERDICT r2 "do this" #2): each metric carries
 each engine's ops/byte model, the reference's experiments.xlsx
 kernel-accounting discipline made explicit.
 
-Extra metrics (deadline-permitting): the latency-bound small-corpus run
-(the reference's literal 1.6 MB workload, plus its byte-contract
-conformance gate), k = 1 / k = 2 steady state with planted matches (the
-fused conv-filtration path end to end), many-pattern serving at k = 0
-(the MXU corr engine), and a 512 MB k = 0 run.
+Extra metrics (deadline-permitting, highest value first): 512 MB k = 0
+(the SAME compiled program as the primary — zero extra compiles), k = 1
+/ k = 2 steady state with planted matches (the fused conv-filtration
+path end to end) at 256 and 512 MB, the reference's literal 1.6 MB
+workload with its byte-contract conformance gate, many-pattern serving
+at k = 0 (the MXU corr engine), the high-k tier ladder k = 4 (exact
+pieces) / k = 8 (banded pieces) / k = 12 (Myers DP) — the reference
+takes k as a first-class CLI argument (``sequential.c:44``) but never
+benchmarked it (VERDICT r4 ask #6) — and the demoted 64 MB latency
+floor.
 """
 
 import json
@@ -61,12 +78,12 @@ DEADLINE_S = float(os.environ.get("APM_BENCH_DEADLINE_S", "900"))
 # routinely take minutes; an extra started with less than this would
 # likely straddle the driver's own timeout).
 EXTRA_MARGIN_S = float(os.environ.get("APM_BENCH_EXTRA_MARGIN_S", "120"))
-PRIMARY = "steady_state_64mb_6pat_k0"
+PRIMARY = "steady_state_256mb_6pat_k0"
 # Corpus sizes in MB — overridable ONLY for fast smoke runs of the bench
 # flow itself (tests / `timeout 300 python bench.py` rehearsals); the
 # recorded metrics always use the defaults.
-PRIM_MB = int(os.environ.get("APM_BENCH_PRIM_MB", "64"))
-BIG_MB = int(os.environ.get("APM_BENCH_BIG_MB", "256"))
+PRIM_MB = int(os.environ.get("APM_BENCH_PRIM_MB", "256"))
+LAT_MB = int(os.environ.get("APM_BENCH_LAT_MB", "64"))
 
 
 def _log(msg: str) -> None:
@@ -131,6 +148,34 @@ def _host_exact_count(corpus: bytes, pat: bytes) -> int:
     return n
 
 
+def _link_calibration(extras) -> None:
+    """Raw h2d+d2h round trip of a 128 MB buffer — NO compiled code in
+    the timed loop (``device_put`` up, ``np.asarray`` down), so this
+    measures the tunnel/link, not the chip. Cross-session numbers can be
+    normalized by this field (VERDICT r4 weak #5)."""
+    import jax
+
+    try:
+        buf = np.zeros((128 << 20,), dtype=np.uint8)
+        # untimed warm trip first: absorbs any one-time transfer setup
+        np.asarray(jax.device_put(buf[: 1 << 20]))
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(jax.device_put(buf))
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        mb = 2 * len(buf) / 1e6  # bytes moved: up + down
+        extras["link_roundtrip_mb_per_s"] = round(mb / ts[1], 1)
+        extras["link_roundtrip_mb_per_s_max"] = round(mb / ts[0], 1)
+        _log(f"link roundtrip: {extras['link_roundtrip_mb_per_s']} MB/s "
+             f"(max {extras['link_roundtrip_mb_per_s_max']})")
+        del buf
+    except Exception as e:  # calibration must never take the bench down
+        _log(f"link calibration FAILED: {e!r}")
+        extras["link_roundtrip_error"] = repr(e)[:200]
+
+
 def main() -> int:
     import jax
 
@@ -165,47 +210,50 @@ def main() -> int:
     extras = {"session": session}
     skipped = []
 
-    # PRIMARY: 64 MB steady state, k=0, same pattern set — with planted
-    # exact occurrences so the conformance gate below has real matches
-    # to miscount if an engine were broken.
+    _link_calibration(extras)
+
+    # PRIMARY: 256 MB steady state, k=0, the reference pattern set — with
+    # planted exact occurrences so the conformance gate below has real
+    # matches to miscount if an engine were broken. One full chunk: one
+    # fresh compile, link cost < 3%.
     rng = np.random.default_rng(0)
     alpha = np.frombuffer(b"ACGT\n", dtype=np.uint8)
     syn = alpha[rng.integers(0, 5, size=PRIM_MB << 20)]
     p1 = np.frombuffer(pats[1], np.uint8)
-    # one planted exact copy per MB (63 at the default 64 MB)
+    # one planted exact copy per MB
     for pos in range(4096, (PRIM_MB - 1) << 20, 1 << 20):
         syn[pos:pos + len(p1)] = p1
     syn.setflags(write=False)
-    _log("compiling primary (64 MB, k=0)...")
-    sc64 = apm.Scanner(pats, k=0)
-    counts64 = sc64.count(syn)  # compile + stage
+    _log(f"compiling primary ({PRIM_MB} MB, k=0)...")
+    sc0 = apm.Scanner(pats, k=0)
+    counts0 = sc0.count(syn)  # compile + stage
     _log("primary compiled; conformance gate (host substring count)...")
 
     # Zero-extra-compile exact conformance gate: at k = 0 the reference
     # semantics equal overlapping substring count (see _host_exact_count).
     syn_b = syn.tobytes()
-    expected64 = [_host_exact_count(syn_b, p) for p in pats]
+    expected0 = [_host_exact_count(syn_b, p) for p in pats]
     del syn_b
-    if counts64.tolist() != expected64:
+    if counts0.tolist() != expected0:
         _emit({
             "metric": PRIMARY, "value": 0.0, "unit": "MB/s",
             "vs_baseline": 0.0,
-            "error": f"64MB gate: {counts64.tolist()} != {expected64}",
+            "error": f"{PRIM_MB}MB gate: {counts0.tolist()} != {expected0}",
         })
         return 1
-    _log(f"gate ok (counts={counts64.tolist()}); timing primary...")
+    _log(f"gate ok (counts={counts0.tolist()}); timing primary...")
 
-    mbps64 = _metric(
-        extras, PRIMARY, len(syn), _time_stats(lambda: sc64.count(syn), 5),
-        sc64,
+    mbps = _metric(
+        extras, PRIMARY, len(syn), _time_stats(lambda: sc0.count(syn), 5),
+        sc0,
     )
 
     def payload():
         return {
             "metric": PRIMARY,
-            "value": round(mbps64, 1),
+            "value": round(mbps, 1),
             "unit": "MB/s",
-            "vs_baseline": round(mbps64 / REF_BEST_MBPS, 1),
+            "vs_baseline": round(mbps / REF_BEST_MBPS, 1),
             "bench_elapsed_s": round(time.perf_counter() - T0, 1),
             **({"skipped": skipped} if skipped else {}),
             **extras,
@@ -222,6 +270,72 @@ def main() -> int:
             return False
         _log(f"start {name} ({_left():.0f}s left)")
         return True
+
+    # 512 MB k=0: two chunks of the SAME compiled program as the primary
+    # — zero extra compiles, so it runs first among the extras.
+    if budget("steady_state_512mb_k0"):
+        try:
+            syn512 = alpha[rng.integers(0, 5, size=(2 * PRIM_MB) << 20)]
+            syn512.setflags(write=False)
+            sc512 = apm.Scanner(pats, k=0)
+            sc512.count(syn512)
+            _metric(
+                extras, "steady_state_512mb_k0", len(syn512),
+                _time_stats(lambda: sc512.count(syn512), 5), sc512,
+            )
+            del syn512, sc512
+        except Exception as e:
+            _log(f"steady_state_512mb_k0 FAILED: {e!r}")
+            extras["steady_state_512mb_k0_error"] = repr(e)[:200]
+
+    # k=1 / k=2 with REAL matches present: planted fuzzy occurrences
+    # exercise conv phase 1 + on-device verification end to end
+    # (VERDICT r2 "do this" #1 target: >= 2 GB/s).
+    for kk in (1, 2):
+        name = f"steady_state_256mb_k{kk}_planted"
+        if not budget(name):
+            continue
+        try:
+            from apm.utils.corpus import plant
+
+            syn_k = syn.copy()
+            plant(syn_k, p1,
+                  list(range(5000, (PRIM_MB - 6) << 20, 1 << 20)),
+                  k=kk, seed=7)
+            syn_k.setflags(write=False)
+            sc_k = apm.Scanner(pats, k=kk)
+            sc_k.count(syn_k)
+            _metric(
+                extras, name, len(syn_k),
+                _time_stats(lambda: sc_k.count(syn_k), 5), sc_k,
+            )
+            del syn_k, sc_k
+        except Exception as e:
+            _log(f"{name} FAILED: {e!r}")
+            extras[f"{name}_error"] = repr(e)[:200]
+
+    # Large-corpus k=1: same chunk shape (and so the same compiled
+    # program) as the 256 MB k=1 extra, but two chunks — the k>=1
+    # ceiling once per-call fixed cost is amortized over twice the bytes.
+    if budget("steady_state_512mb_k1_planted"):
+        try:
+            from apm.utils.corpus import plant
+
+            syn512k = alpha[rng.integers(0, 5, size=(2 * PRIM_MB) << 20)]
+            plant(syn512k, p1,
+                  list(range(5000, ((2 * PRIM_MB) - 6) << 20, 1 << 20)),
+                  k=1, seed=11)
+            syn512k.setflags(write=False)
+            sc512k = apm.Scanner(pats, k=1)
+            sc512k.count(syn512k)
+            _metric(
+                extras, "steady_state_512mb_k1_planted", len(syn512k),
+                _time_stats(lambda: sc512k.count(syn512k), 5), sc512k,
+            )
+            del syn512k, sc512k
+        except Exception as e:
+            _log(f"steady_state_512mb_k1_planted FAILED: {e!r}")
+            extras["steady_state_512mb_k1_planted_error"] = repr(e)[:200]
 
     # Reference byte-contract gate + latency line item (1.6 MB shapes:
     # one fresh compile, shared between gate and timing).
@@ -247,34 +361,51 @@ def main() -> int:
             _log(f"latency_bound_1p6mb_k0 FAILED: {e!r}")
             extras["latency_bound_1p6mb_k0_error"] = repr(e)[:200]
 
-    # 256 MB synthetic corpus shared by the k>=1 and many-pattern extras —
-    # allocated lazily on first use (a run that reaches the extras with no
-    # budget left must not burn deadline generating an unused corpus) but
-    # OUTSIDE any metric's try block once made, so a failing extra cannot
-    # leave a later one with a NameError (ADVICE r3 #3).
-    _syn256_box = []
+    # Many-pattern serving: 64 distinct 50-char patterns at k = 0 routes
+    # the MXU correlation engine (DESIGN.md §8) — throughput is flat in
+    # pattern count where the banded kernel's falls off.
+    if budget("steady_state_256mb_64pat_k0"):
+        try:
+            pats64 = [
+                bytes(alpha[rng.integers(0, 4, size=50)]) for _ in range(64)
+            ]
+            sc_p64 = apm.Scanner(pats64, 0)
+            sc_p64.count(syn)
+            _metric(
+                extras, "steady_state_256mb_64pat_k0", len(syn),
+                _time_stats(lambda: sc_p64.count(syn), 5), sc_p64,
+            )
+            del sc_p64
+        except Exception as e:
+            _log(f"steady_state_256mb_64pat_k0 FAILED: {e!r}")
+            extras["steady_state_256mb_64pat_k0_error"] = repr(e)[:200]
 
-    def get_syn256():
-        if not _syn256_box:
-            _syn256_box.append(alpha[rng.integers(0, 5, size=BIG_MB << 20)])
-        return _syn256_box[0]
-
-    # k=1 / k=2 with REAL matches present: planted fuzzy occurrences
-    # exercise conv phase 1 + on-device verification end to end on a
-    # 256 MB corpus (VERDICT r2 "do this" #1 target: >= 2 GB/s).
-    for kk in (1, 2):
-        name = f"steady_state_256mb_k{kk}_planted"
+    # High-k tier ladder (VERDICT r4 ask #6): the conformance story
+    # covers k to 16 but round 4 recorded perf only at k <= 2. Each rung
+    # exercises a different engine on a 256 MB corpus with planted
+    # k-error occurrences:
+    #   k=4,  6x 50-char  -> exact-piece filtration (tier (5, 0));
+    #   k=8,  2x 120-char -> banded-piece filtration (tier (5, 1));
+    #   k=12, 6x 50-char  -> Myers bit-parallel DP (no tier applies).
+    def _highk(name, kk, pat_list):
         if not budget(name):
-            continue
+            return
         try:
             from apm.utils.corpus import plant
 
-            syn_k = get_syn256().copy()
-            plant(syn_k, p1,
-                  list(range(5000, (BIG_MB - 6) << 20, 1 << 20)),
-                  k=kk, seed=7)
+            syn_k = syn.copy()
+            for i, pk in enumerate(pat_list):
+                plant(
+                    syn_k,
+                    np.frombuffer(pk, np.uint8),
+                    list(range(
+                        5000 + i * 131072, (PRIM_MB - 6) << 20, 1 << 20
+                    )),
+                    k=kk,
+                    seed=13 + i,
+                )
             syn_k.setflags(write=False)
-            sc_k = apm.Scanner(pats, k=kk)
+            sc_k = apm.Scanner(pat_list, k=kk)
             sc_k.count(syn_k)
             _metric(
                 extras, name, len(syn_k),
@@ -285,68 +416,29 @@ def main() -> int:
             _log(f"{name} FAILED: {e!r}")
             extras[f"{name}_error"] = repr(e)[:200]
 
-    # Many-pattern serving: 64 distinct 50-char patterns at k = 0 routes
-    # the MXU correlation engine (DESIGN.md §8) — throughput is flat in
-    # pattern count where the banded kernel's falls off. 256 MB so the
-    # ~30 ms/call link latency is amortized.
-    if budget("steady_state_256mb_64pat_k0"):
-        try:
-            pats64 = [
-                bytes(alpha[rng.integers(0, 4, size=50)]) for _ in range(64)
-            ]
-            syn256 = get_syn256()
-            syn256.setflags(write=False)
-            sc_p64 = apm.Scanner(pats64, 0)
-            sc_p64.count(syn256)
-            _metric(
-                extras, "steady_state_256mb_64pat_k0", len(syn256),
-                _time_stats(lambda: sc_p64.count(syn256), 5), sc_p64,
-            )
-            del sc_p64
-        except Exception as e:
-            _log(f"steady_state_256mb_64pat_k0 FAILED: {e!r}")
-            extras["steady_state_256mb_64pat_k0_error"] = repr(e)[:200]
+    pats50 = [bytes(alpha[rng.integers(0, 4, size=50)]) for _ in range(6)]
+    pats120 = [bytes(alpha[rng.integers(0, 4, size=120)]) for _ in range(2)]
+    _highk("steady_state_256mb_k4_exact_tier", 4, pats50)
+    _highk("steady_state_256mb_k8_banded_tier", 8, pats120)
+    _highk("steady_state_256mb_k12_myers_dp", 12, pats50)
 
-    # Large-corpus steady state (512 MB, two chunks — same compiled chunk
-    # shape as the 256 MB scans, so no fresh compile when those ran).
-    if budget("steady_state_512mb_k0"):
+    # The demoted r1-r4 primary: one 64 MB call is dominated by the
+    # testbed's fixed per-call cost (~15-30 ms tunnel RTT + dispatch) —
+    # it measures the LINK's floor, not the chip (VERDICT r4 weak #1).
+    if budget("latency_floor_64mb_6pat_k0"):
         try:
-            syn512 = alpha[rng.integers(0, 5, size=(2 * BIG_MB) << 20)]
-            syn512.setflags(write=False)
-            sc512 = apm.Scanner(pats, k=0)
-            sc512.count(syn512)
+            syn64 = syn[: LAT_MB << 20].copy()
+            syn64.setflags(write=False)
+            sc64 = apm.Scanner(pats, k=0)
+            sc64.count(syn64)
             _metric(
-                extras, "steady_state_512mb_k0", len(syn512),
-                _time_stats(lambda: sc512.count(syn512), 5), sc512,
+                extras, "latency_floor_64mb_6pat_k0", len(syn64),
+                _time_stats(lambda: sc64.count(syn64), 5), sc64,
             )
-            del syn512, sc512
+            del syn64, sc64
         except Exception as e:
-            _log(f"steady_state_512mb_k0 FAILED: {e!r}")
-            extras["steady_state_512mb_k0_error"] = repr(e)[:200]
-
-    # Large-corpus k=1: same chunk shape (and so the same compiled
-    # program) as the 256 MB k=1 extra, but two chunks — shows the k>=1
-    # ceiling once the per-call fixed cost (~15 ms tunnel RTT +
-    # dispatch) is amortized over twice the bytes.
-    if budget("steady_state_512mb_k1_planted"):
-        try:
-            from apm.utils.corpus import plant
-
-            syn512k = alpha[rng.integers(0, 5, size=(2 * BIG_MB) << 20)]
-            plant(syn512k, p1,
-                  list(range(5000, ((2 * BIG_MB) - 6) << 20, 1 << 20)),
-                  k=1, seed=11)
-            syn512k.setflags(write=False)
-            sc512k = apm.Scanner(pats, k=1)
-            sc512k.count(syn512k)
-            _metric(
-                extras, "steady_state_512mb_k1_planted", len(syn512k),
-                _time_stats(lambda: sc512k.count(syn512k), 5), sc512k,
-            )
-            del syn512k, sc512k
-        except Exception as e:
-            _log(f"steady_state_512mb_k1_planted FAILED: {e!r}")
-            extras["steady_state_512mb_k1_planted_error"] = repr(e)[:200]
+            _log(f"latency_floor_64mb_6pat_k0 FAILED: {e!r}")
+            extras["latency_floor_64mb_6pat_k0_error"] = repr(e)[:200]
 
     _log(f"done; {len(skipped)} extras skipped {skipped or ''}")
     _emit(payload())
