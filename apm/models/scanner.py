@@ -174,6 +174,71 @@ class Scanner:
             kk = self._corr_kern = (kern, thr, stride)
         return kk
 
+    def _corr_fused_tables(self):
+        """Phase-folded ±1 tables for the fused Pallas correlation
+        (cached): ``(km, thr)`` — see ``apm.ops.corr_fused``. Built over
+        the REAL pattern rows only, like :meth:`_corr_kernel`."""
+        kk = getattr(self, "_corr_fused_kern", None)
+        if kk is None:
+            from ..ops.corr_fused import build_fused_tables
+
+            n_real = self.scan_patterns.num_patterns
+            kk = self._corr_fused_kern = build_fused_tables(
+                self._pat_raw[:n_real],
+                self._plens_static[:n_real],
+                self._corr_alphabet(),
+            )
+        return kk
+
+    def _use_fused_corr(self, wf: int, halo: int) -> bool:
+        """Route an eligible k = 0 correlation scan to the fused Pallas
+        kernel (``config.corr_impl``; DESIGN §8: 1.5-1.8x the XLA conv
+        at P <= 16, a wash at P = 64, bit-exact)."""
+        from ..ops.corr_fused import fused_eligible
+
+        impl = self.config.corr_impl
+        if impl == "conv":
+            return False
+        ok = fused_eligible(self.m_max, wf, halo)
+        if impl == "fused" and not ok:
+            raise ValueError(
+                "corr_impl='fused' requires m_max <= 65 and 128-aligned "
+                "staging (apm.ops.corr_fused.fused_eligible)"
+            )
+        return ok
+
+    def _corr_call(
+        self, drows, dbound, dstart, *, wf, halo, n_rows, p_out
+    ):
+        """One k = 0 correlation chunk scan, dispatched to the fused
+        Pallas kernel or the XLA conv engine (same count contract)."""
+        alph = self._corr_alphabet()
+        if self._use_fused_corr(wf, halo):
+            from ..ops.corr_engine import n_bitplanes
+            from ..ops.corr_fused import S_FUSED, pick_g, scan_corr_fused
+
+            km, thr = self._corr_fused_tables()
+            l128 = (wf + halo) // 128
+            return scan_corr_fused(
+                drows, jax.numpy.asarray(km), jax.numpy.asarray(thr),
+                jax.numpy.asarray(alph), dbound, dstart,
+                wf=wf, l128=l128, n_rows=n_rows,
+                g=pick_g(n_rows, l128, km.shape[1] // S_FUSED),
+                p=km.shape[1] // S_FUSED, c_alpha=len(alph),
+                b_planes=n_bitplanes(len(alph)),
+                interpret=self.config.interpret, p_out=p_out,
+            )
+        from ..ops.corr_engine import _group_rows, scan_corr_mxu
+
+        kern_np, thr_np, corr_stride = self._corr_kernel()
+        return scan_corr_mxu(
+            drows, jax.numpy.asarray(kern_np), jax.numpy.asarray(thr_np),
+            jax.numpy.asarray(alph), dbound, dstart,
+            wf=wf, m_max=self.m_max, n_rows=n_rows,
+            g_rows=_group_rows(wf + halo, len(alph), n_rows),
+            stride=corr_stride, p_out=p_out,
+        )
+
     def _fp1_kernel(self, plens_filter: tuple):
         """Piece-correlation tables for conv phase 1 (cached per split):
         ``(kern, thr, owner, stride)``."""
@@ -477,16 +542,6 @@ class Scanner:
         if fp == "auto":
             fp = self._corpus_fp(buf)
 
-        if plan.use_corr:
-            from ..ops.corr_engine import _group_rows, scan_corr_mxu
-
-            kern_np, thr_np, corr_stride = self._corr_kernel()
-            dkern = jax.numpy.asarray(kern_np)
-            dthr = jax.numpy.asarray(thr_np)
-            dalph = jax.numpy.asarray(self._corr_alphabet())
-            g_rows = _group_rows(
-                wf + halo, len(self._corr_alphabet()), n_rows
-            )
         if plan.fp1_conv:
             from ..ops.corr_engine import _group_rows
             from ..ops.fused import filter_verify_chunk_conv
@@ -509,10 +564,9 @@ class Scanner:
             dc0 = jax.numpy.asarray(c0, dtype=np.int32)
             if plan.use_corr:
                 handles.append(
-                    scan_corr_mxu(
-                        drows, dkern, dthr, dalph, dbound, dc0,
-                        wf=wf, m_max=self.m_max, n_rows=n_rows,
-                        g_rows=g_rows, stride=corr_stride, p_out=p_pad,
+                    self._corr_call(
+                        drows, dbound, dc0,
+                        wf=wf, halo=halo, n_rows=n_rows, p_out=p_pad,
                     )
                 )
             if plan.any_dp:
@@ -879,21 +933,11 @@ class Scanner:
         zero32 = jax.numpy.asarray(0, jax.numpy.int32)
         rows = jax.numpy.zeros((n_rows, wf + halo), jax.numpy.uint8)
         if plan.use_corr:
-            from ..ops.corr_engine import _group_rows, scan_corr_mxu
-
-            kern_np, thr_np, corr_stride = self._corr_kernel()
             np.asarray(
-                scan_corr_mxu(
-                    rows,
-                    jax.numpy.asarray(kern_np),
-                    jax.numpy.asarray(thr_np),
-                    jax.numpy.asarray(self._corr_alphabet()),
-                    zero32, zero32,
-                    wf=wf, m_max=self.m_max, n_rows=n_rows,
-                    g_rows=_group_rows(
-                        wf + halo, len(self._corr_alphabet()), n_rows
-                    ),
-                    stride=corr_stride, p_out=self._pat.shape[0],
+                self._corr_call(
+                    rows, zero32, zero32,
+                    wf=wf, halo=halo, n_rows=n_rows,
+                    p_out=self._pat.shape[0],
                 )
             )
         if plan.any_dp:

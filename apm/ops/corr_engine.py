@@ -1,41 +1,63 @@
-"""Exact-match (k = 0) scanning on the MXU via one-hot correlation.
+"""Exact-match (k = 0) scanning on the MXU via ±1 bit-plane correlation.
 
 At k = 0 approximate matching degenerates to exact matching, and exact
 matching is a *correlation*: window ``j`` matches pattern ``p`` iff
 
     sum_i [text[j + i] == p[i]]  ==  m_p .
 
-Encode text and pattern one-hot over the patterns' byte alphabet and the
-per-position equality becomes an inner product, so the whole scan is ONE
-convolution — ``(R, L, C) * (m_max, C, P) -> (R, W, P)`` — which XLA
-lowers onto the MXU (the systolic array), where a v5e chip has ~394
-bf16 TFLOP/s against the VPU's ~4 Tops/s that the banded-DP kernel's
-compare chains ride. The banded kernel (``apm.ops.pallas_kernel``) stays
-the engine for k >= 1, where the DP recurrence has no such bilinear form.
+Encode symbols over channels so per-position equality becomes an inner
+product, and the whole scan is ONE convolution —
+``(R, L, C) * (m_max, C, P) -> (R, W, P)`` — which XLA lowers onto the
+MXU (the systolic array), where a v5e chip has ~197 bf16 TFLOP/s against
+the VPU's ~4 Tops/s that the banded-DP kernel's compare chains ride. The
+banded kernel (``apm.ops.pallas_kernel``) stays the engine for k >= 1,
+where the DP recurrence has no such bilinear form.
+
+**±1 bit-planes, not one-hot (round 5).** Because the k = 0 test is
+all-or-nothing, the channel axis does not need to *count* per-position
+equality — it only needs an equality *certificate* at the threshold.
+Encode each text byte's alphabet code (its index in the sorted pattern
+alphabet) as ``B = max(1, ceil(log2 C))`` channels of ±1 (bit b set →
++1, clear → -1; bytes outside the alphabet → all-zero), and give the
+kernel the pattern bytes' ±1 code bits. Each in-pattern tap then
+contributes exactly B when every code bit matches and <= B - 2
+otherwise, so
+
+    corr[j, p] == B * m_p   ⟺   window j matches pattern p exactly
+
+(the maximum is attainable only by all-match, and any mismatched symbol
+loses >= 2 from at least one plane). DNA's 4-5 channel one-hot becomes
+2-3 bit-planes: 2-2.5x fewer MACs on the MXU (the P = 64 wide-N conv
+was MAC-bound at 27-37% of roof, VERDICT r4 ask #2) and 2-2.5x fewer
+encode elements on the VPU (the P <= 24 shift-folded conv was
+encode-bound at its ~9 GB/s one-hot floor, VERDICT r4 ask #1). One-hot
+still generalizes to counting *partial* matches; nothing in this engine
+needs that — phase 1 pieces (below) are exact-threshold too.
 
 Two tricks make one conv serve an arbitrary pattern set:
 
 * **Per-pattern thresholds, not padding channels.** Kernel positions past
   a pattern's real length stay all-zero and the match test is
-  ``corr >= m_p`` per pattern (``corr`` cannot exceed ``m_p``): no
-  wildcard channel, no concat in the hot path — measured ~10% over the
-  wildcard formulation on chip. (Text bytes outside the alphabet one-hot
-  to the zero vector and can never complete a match — correct, since
-  every pattern byte is in the alphabet by construction.)
-* **Alphabet channels, not byte channels.** Channels are the distinct
-  bytes of the pattern set (4-5 for DNA), not all 256 byte values, so the
-  contraction stays dense.
+  ``corr >= B * m_p`` per pattern (``corr`` cannot exceed ``B * m_p``):
+  no wildcard channel, no concat in the hot path — measured ~10% over
+  the wildcard formulation on chip. (Text bytes outside the alphabet
+  encode to the zero vector and can never complete a match — correct,
+  since every pattern byte is in the alphabet by construction.)
+* **Alphabet-code channels, not byte channels.** Codes index the distinct
+  bytes of the pattern set (4-5 for DNA), not all 256 byte values, so
+  the contraction stays dense and the plane count minimal.
 
 Window-ownership masking is a per-ROW limit (one clipped subtract per
 row, ``col < limit[r]``) rather than a per-window global-index compare —
 the scan is VPU-encode-bound, so shaving the 3-op mask to 1 op is a
 measured ~25% end-to-end win.
 
-Exactness: inputs are 0/1 in bf16, accumulation is f32
-(``preferred_element_type``), partial sums are integers ``<= m_max``
-— every value is exactly representable for ``m_max < 2**24``, so the
-``corr == m_max`` test is bit-exact, and the engine is conformance-tested
-against the oracle like every other engine (tests/test_corr.py).
+Exactness: inputs are 0/±1 in bf16, accumulation is f32
+(``preferred_element_type``), partial sums are integers with
+``|corr| <= B * m_max`` — every value is exactly representable for
+``B * m_max < 2**24``, so the ``corr >= B * m_p`` test is bit-exact,
+and the engine is conformance-tested against the oracle like every
+other engine (tests/test_corr.py).
 
 Eligibility (:func:`corr_eligible`): k = 0, alphabet <= ``ALPHABET_MAX``
 (beyond that the contraction dilutes — each extra channel is pure FLOP
@@ -47,10 +69,11 @@ The reference has no analog of either formulation: its CPU and CUDA
 kernels run the full O(m^2) DP per window (``src/utils.c:76-99``,
 ``src/cuda_utils.cu``) even at k = 0.
 
-Memory: the one-hot text tile is ``(rows, L, C+1)`` bf16 — ~12x the
-staged bytes for DNA — so the scan maps over static row *groups* sized
-~``GROUP_BYTES`` of one-hot, keeping the working set in the tens of MB
-while XLA pipelines group g+1's encode against group g's conv.
+Memory: the bit-plane text tile is ``(rows, L, B)`` bf16 — ~4-6x the
+staged bytes for DNA (the one-hot tile was ~10-12x) — so the scan maps
+over static row *groups* sized ~``GROUP_BYTES`` of encoded text, keeping
+the working set in the tens of MB while XLA pipelines group g+1's encode
+against group g's conv.
 """
 
 from __future__ import annotations
@@ -95,6 +118,40 @@ def build_alphabet(raw_patterns) -> np.ndarray:
         [np.frombuffer(bytes(p), dtype=np.uint8) for p in raw_patterns]
     )
     return np.unique(cat)
+
+
+def n_bitplanes(alphabet_size: int) -> int:
+    """±1 channel count for a C-symbol alphabet: ``max(1, ceil(log2 C))``.
+
+    2 for DNA (C = 4), 3 for DNA+N (C = 5), 1 for binary pattern sets,
+    4 at the ``ALPHABET_MAX = 16`` eligibility edge.
+    """
+    return max(1, (max(alphabet_size, 1) - 1).bit_length())
+
+
+def _encode_planes(rg: jax.Array, alph: jax.Array, cbits: int) -> jax.Array:
+    """±1 bit-plane text encode: ``(g, L) uint8 -> (g, L, cbits) bf16``.
+
+    Plane b of a byte in the alphabet is ``+1`` if bit b of its alphabet
+    code (index in the sorted ``alph``) is set, else ``-1``; bytes
+    outside the alphabet encode to the zero vector on every plane (a
+    zero tap term can never help a window reach the ``B * m_p``
+    threshold, so out-of-alphabet text is excluded exactly as one-hot's
+    zero row excluded it). Cost per byte: 2C compares + B selects — vs
+    one-hot's C compare/selects producing C (not B) output elements,
+    which is what made the encode the k = 0 fast path's roof
+    (DESIGN.md §9(a))."""
+    eq = rg[:, :, None] == alph[None, None, :]  # (g, L, C)
+    valid = jnp.any(eq, axis=-1)  # (g, L)
+    code = jnp.sum(
+        (rg[:, :, None] > alph[None, None, :]).astype(jnp.int32),
+        axis=-1,
+    )  # (g, L): rank of the byte among alphabet bytes == its code
+    bits = (
+        code[:, :, None] >> jnp.arange(cbits, dtype=jnp.int32)[None, None, :]
+    ) & 1  # (g, L, cbits)
+    pm = (2 * bits - 1).astype(jnp.bfloat16)
+    return jnp.where(valid[:, :, None], pm, jnp.bfloat16(0.0))
 
 
 def corr_eligible(
@@ -164,37 +221,41 @@ def _fold_shifts(kern: np.ndarray, thr: np.ndarray, stride: int):
 def build_kernel(
     pat_raw: np.ndarray, plens, alphabet: np.ndarray, stride: int = 1
 ):
-    """One-hot conv kernel ``(m_max + stride - 1, C, P*stride)`` bf16 +
-    ``(P*stride,)`` f32 thresholds.
+    """±1 bit-plane conv kernel ``(m_max + stride - 1, B, P*stride)``
+    bf16 + ``(P*stride,)`` f32 thresholds (``B = n_bitplanes(C)``).
 
     ``pat_raw`` is the (P, m_max) zero-padded raw pattern table. Position
-    ``i`` of pattern ``p`` one-hots to its byte's alphabet channel for
+    ``i`` of pattern ``p`` carries the ±1 code bits of its byte for
     ``i < m_p``; positions past the pattern (and whole pattern-axis
     padding rows, ``m_p = 0``) stay all-zero. The returned threshold for
-    pattern ``p`` is ``m_p`` — ``corr >= m_p`` iff every real position
-    matched — and an unreachable sentinel for padding rows so they never
-    count (the same "no work for padding rows" contract as the Pallas
-    kernels). ``stride`` shift-folds the kernel for the strided conv
-    (see :func:`pick_stride`); pass the same value to
+    pattern ``p`` is ``B * m_p`` — ``corr >= B * m_p`` iff every real
+    position matched on every plane (see the module docstring's
+    certificate argument) — and an unreachable sentinel for padding rows
+    so they never count (the same "no work for padding rows" contract as
+    the Pallas kernels). ``stride`` shift-folds the kernel for the
+    strided conv (see :func:`pick_stride`); pass the same value to
     :func:`scan_corr_mxu`.
     """
     P, m_max = pat_raw.shape
-    C = len(alphabet)
-    kern = np.zeros((m_max, C, P), dtype=np.float32)
+    B = n_bitplanes(len(alphabet))
+    kern = np.zeros((m_max, B, P), dtype=np.float32)
     thr = np.zeros((P,), dtype=np.float32)
     for pi in range(P):
         m = plens[pi]
-        thr[pi] = m if m > 0 else np.float32(2**30)
+        thr[pi] = B * m if m > 0 else np.float32(2**30)
         for i in range(min(m, m_max)):
             ci = int(np.searchsorted(alphabet, pat_raw[pi, i]))
-            kern[i, ci, pi] = 1.0
+            for b in range(B):
+                kern[i, b, pi] = 1.0 if (ci >> b) & 1 else -1.0
     kern, thr = _fold_shifts(kern, thr, stride)
     return kern.astype(jnp.bfloat16), thr
 
 
 def _group_rows(L: int, C: int, n_rows: int) -> int:
-    """Rows per mapped group: ~GROUP_BYTES of one-hot, >= 8, <= n_rows."""
-    per_row = L * C * 2
+    """Rows per mapped group: ~GROUP_BYTES of encoded text, >= 8,
+    <= n_rows. ``C`` is the ALPHABET size (what every caller has on
+    hand); the encoded tile is ``n_bitplanes(C)`` bf16 planes wide."""
+    per_row = L * n_bitplanes(C) * 2
     g = max(8, GROUP_BYTES // max(per_row, 1))
     return int(min(g, n_rows))
 
@@ -205,7 +266,7 @@ def _group_rows(L: int, C: int, n_rows: int) -> int:
 )
 def scan_corr_mxu(
     rows: jax.Array,  # (R, wf + halo) uint8 — folded staged corpus rows
-    kern: jax.Array,  # (m_max + S - 1, C, P*S) bf16 — shift-folded kernel
+    kern: jax.Array,  # (m_max + S - 1, B, P*S) bf16 — shift-folded kernel
     thr: jax.Array,  # (P*S,) f32 — per-channel match thresholds (= m_p)
     alph: jax.Array,  # (C,) uint8 — pattern alphabet
     bound: jax.Array,  # () int32 — global window bound (exclusive)
@@ -251,7 +312,7 @@ def scan_corr_mxu(
 
     def one_group(args):
         rg, g = args  # (g_rows, L) uint8, () int32
-        t = (rg[:, :, None] == alph[None, None, :]).astype(jnp.bfloat16)
+        t = _encode_planes(rg, alph, kern.shape[1])
         corr = jax.lax.conv_general_dilated(
             t,
             kern,
@@ -287,7 +348,7 @@ def scan_corr_mxu(
 )
 def scan_corr_batch(
     rows: jax.Array,  # (R, wf + halo) uint8 — folded rows, MANY corpora
-    kern: jax.Array,  # (m_max + S - 1, C, P*S) bf16 — shift-folded kernel
+    kern: jax.Array,  # (m_max + S - 1, B, P*S) bf16 — shift-folded kernel
     thr: jax.Array,  # (P*S,) f32 — per-channel match thresholds (= m_p)
     alph: jax.Array,  # (C,) uint8 — pattern alphabet
     limits: jax.Array,  # (R,) int32 — valid windows per row (precomputed)
@@ -326,7 +387,7 @@ def scan_corr_batch(
 
     def one_group(args):
         rg, lim = args  # (g_rows, L) uint8, (g_rows,) int32
-        t = (rg[:, :, None] == alph[None, None, :]).astype(jnp.bfloat16)
+        t = _encode_planes(rg, alph, kern.shape[1])
         corr = jax.lax.conv_general_dilated(
             t,
             kern,
@@ -411,17 +472,20 @@ def build_piece_kernel(
 ):
     """Piece-correlation tables for conv phase 1.
 
-    Returns ``(kern (w_kern + stride - 1, C, N*stride) bf16,
+    Returns ``(kern (w_kern + stride - 1, B, N*stride) bf16,
     thr (N*stride,) f32, owner (N, P) f32)`` where N is the total piece
-    count across patterns and ``owner`` is the piece->pattern one-hot used
-    to combine piece hits into per-pattern row maps with one small matmul.
-    ``stride`` shift-folds the kernel (see :func:`pick_stride`); pass the
-    same value to :func:`scan_pieces_conv`.
+    count across patterns, ``B = n_bitplanes(C)``, and ``owner`` is the
+    piece->pattern one-hot used to combine piece hits into per-pattern
+    row maps with one small matmul. Pieces are exact-tier (kp = 0), so
+    the ±1 bit-plane certificate applies verbatim: a piece hits iff its
+    correlation reaches ``B * length``. ``stride`` shift-folds the
+    kernel (see :func:`pick_stride`); pass the same value to
+    :func:`scan_pieces_conv`.
     """
     from .filter_kernel import pieces_of_j, tier_of
 
     P, m_max = pat_raw.shape
-    C = len(alphabet)
+    B = n_bitplanes(len(alphabet))
     pieces = []  # (pattern index, offset, length)
     for pi in range(P):
         m = plens[pi]
@@ -433,15 +497,16 @@ def build_piece_kernel(
             pieces.append((pi, off, length))
     n = len(pieces)
     w_kern = max(length for _, _, length in pieces)
-    kern = np.zeros((w_kern, C, n), dtype=np.float32)
+    kern = np.zeros((w_kern, B, n), dtype=np.float32)
     thr = np.zeros((n,), dtype=np.float32)
     owner = np.zeros((n, P), dtype=np.float32)
     for ni, (pi, off, length) in enumerate(pieces):
-        thr[ni] = length
+        thr[ni] = B * length
         owner[ni, pi] = 1.0
         for i in range(length):
             ci = int(np.searchsorted(alphabet, pat_raw[pi, off + i]))
-            kern[i, ci, ni] = 1.0
+            for b in range(B):
+                kern[i, b, ni] = 1.0 if (ci >> b) & 1 else -1.0
     kern, thr = _fold_shifts(kern, thr, stride)
     return kern.astype(jnp.bfloat16), thr, owner
 
@@ -451,7 +516,7 @@ def build_piece_kernel(
 )
 def scan_pieces_conv(
     rows: jax.Array,  # (R, wf + halo) uint8 — folded staged corpus rows
-    kern: jax.Array,  # (w_kern, C, N*S) bf16 — one-hot piece kernel
+    kern: jax.Array,  # (w_kern, B, N*S) bf16 — ±1 bit-plane piece kernel
     thr: jax.Array,  # (N*S,) f32 — per-piece thresholds (= piece lengths)
     owner: jax.Array,  # (N, P) f32 — piece -> pattern one-hot
     alph: jax.Array,  # (C,) uint8 — pattern alphabet
@@ -494,7 +559,7 @@ def scan_pieces_conv(
         rg, g = args
         if S > 1:
             rg = jnp.pad(rg, ((0, 0), (0, S - 1)))
-        t = (rg[:, :, None] == alph[None, None, :]).astype(jnp.bfloat16)
+        t = _encode_planes(rg, alph, kern.shape[1])
         corr = jax.lax.conv_general_dilated(
             t,
             kern,

@@ -1,0 +1,319 @@
+"""Fused Pallas correlation scan: encode + MXU matmul + count in VMEM.
+
+The XLA conv path (``apm.ops.corr_engine``) is bound by its text encode:
+XLA materializes the ``(rows, L, C)`` channel-minor encode through
+relayouts that cost ~90 effective VPU ops per element (DESIGN.md §9's
+``ENC_OPS_PER_ELEM`` calibration), capping the k = 0 fast path at the
+~9 GB/s "encode roof" the round-4 VERDICT asked to raise. This module
+is the Mosaic-native answer: one Pallas kernel that widens the staged
+text, builds the ±1 bit-plane encode directly in MXU-friendly
+``(sublanes, 128)`` tiles (no channel-minor layout ever exists), runs
+the correlation as plain ``jnp.dot`` tiles, and reduces matches to
+counts — nothing but the uint8 text ever crosses HBM.
+
+Layout ("phase-split im2col", the whole trick):
+
+* Stride the correlation by S = 64 and shift-fold S window phases into
+  the output columns (the §8 shift-fold pushed to its limit). Window
+  ``j = u*128 + phase*64 + s`` (``s < 64``) needs text
+  ``[j, j + m)`` — for ``m <= 65`` every tap of every window of an
+  EVEN block (phase 0) lies inside the single aligned 128-byte chunk
+  ``text[u*128 : u*128 + 128)``. So the im2col LHS for phase 0 is the
+  encoded text *itself*, viewed as ``(rows*L/128, 128)`` — the classic
+  unfold materialization that XLA's im2col loses to (measured 1.4-2.4
+  GB/s, DESIGN §8) simply vanishes.
+* Phase 1 (odd blocks, offset +64) reads the same view shifted by 64
+  lanes — built with two 32-bit ``pltpu.roll``s and one select on the
+  *int32 text* (Mosaic rotates are 32-bit-only), then encoded like
+  phase 0.
+* The kernel matrix ``KM[b][i', s*P + p] = ±(code bit b of
+  pattern[p][i' - s])`` is (128, 64P) per plane: K exactly one MXU
+  tile, N = 64 P columns. ``corr = sum_b LHS_b @ KM_b`` accumulates in
+  f32 (exact: ±1 terms, |corr| <= B*m < 2^24).
+* Per-column thresholds ``B * m_p`` and the per-row ownership limit
+  (``j < clip(bound - start - r*wf, 0, wf)``, same contract as
+  ``scan_corr_mxu``) gate the count; a sublane reduction accumulates
+  ``(1, 64P)`` int32 partial counts across the grid.
+
+MAC cost: ``128 * B * P`` per corpus byte (K-tile padding 128/(m+63)),
+i.e. a ~63 GB/s MXU roof at P = 6/B = 2 and ~6 GB/s at P = 64 — vs the
+~9 GB/s encode-bound and 27-37%-of-MXU conv ceilings it replaces
+(VERDICT r4 asks #1 and #2). The VPU side is ~30 ops/byte (2 encodes +
+epilogue) — two orders below XLA's calibrated encode cost.
+
+Eligibility: ``m_max <= M_MAX_FUSED = 65`` (one K-tile per phase);
+longer patterns keep the XLA conv path. The reference has no analog —
+its k = 0 path runs the full O(m^2) DP per window (``src/utils.c:76-99``,
+``src/database_over_ranks.cu:26-29``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .corr_engine import n_bitplanes
+
+# Phase-split im2col constants: stride 64, two phases per 128-lane chunk.
+S_FUSED = 64
+M_MAX_FUSED = 65  # m + S - 1 <= 128: every tap in one aligned K-tile
+
+# VMEM budget for the f32 corr tile (G*L128, 64P); G shrinks as P grows.
+_ACC_BYTES = 3 << 20
+
+
+def fused_eligible(m_max: int, wf: int, halo: int) -> bool:
+    """Gate: one-K-tile layout needs m <= 65, lane-tiled staging rows,
+    and >= 64 halo bytes (phase 1 of the last block reads to
+    ``wf + 63``)."""
+    return (
+        0 < m_max <= M_MAX_FUSED
+        and wf % 128 == 0
+        and halo % 128 == 0
+        and halo >= 128
+    )
+
+
+def build_fused_tables(pat_raw: np.ndarray, plens, alphabet: np.ndarray):
+    """±1 phase-folded kernel ``(B, 128, 64*P)`` bf16 + ``(1, 64*P)``
+    f32 thresholds (``B * m_p``; unreachable sentinel for padding
+    rows). Column ``s*P + p`` scores window phase-offset ``s`` of
+    pattern ``p``."""
+    P, m_max = pat_raw.shape
+    assert m_max <= M_MAX_FUSED, m_max
+    B = n_bitplanes(len(alphabet))
+    # Pad the pattern slot count to even when the column axis will be
+    # chunked (64P > _SINGLE_MAX): keeps every chunk offset/width a
+    # multiple of 128 lanes (Mosaic slice alignment). Padding slots get
+    # the unreachable sentinel threshold, so they count nothing.
+    p_pad = P + (P % 2 if S_FUSED * P > _SINGLE_MAX else 0)
+    km = np.zeros((B, 128, S_FUSED * p_pad), dtype=np.float32)
+    thr = np.full((1, S_FUSED * p_pad), np.float32(2**30), dtype=np.float32)
+    for pi in range(P):
+        m = plens[pi]
+        for s in range(S_FUSED):
+            col = s * p_pad + pi
+            thr[0, col] = B * m if m > 0 else np.float32(2**30)
+            for i in range(min(m, m_max)):
+                ci = int(np.searchsorted(alphabet, pat_raw[pi, i]))
+                for b in range(B):
+                    km[b, s + i, col] = 1.0 if (ci >> b) & 1 else -1.0
+    # 2D kernel value (Mosaic keeps values 2D): planes stacked on rows.
+    return km.reshape(B * 128, S_FUSED * p_pad).astype(jnp.bfloat16), thr
+
+
+def pick_g(n_rows: int, l128: int, P: int) -> int:
+    """Staging rows per grid step. The text block's sublane dim
+    ``g*l128`` must be a multiple of 8 and ``l128`` is odd, so ``g`` is
+    a multiple of 8; the f32 corr tile is bounded by column chunking
+    (``_N_CHUNK``), not by ``g``. 8 keeps the per-step working set a
+    few MB at any P."""
+    del l128, P
+    return 8 if n_rows >= 8 else 8  # callers pad partial blocks
+
+
+# Column-chunk width for the matmul/epilogue when 64P exceeds it: bounds
+# the live f32 corr tile to (g*l128, _N_CHUNK) ~= 2 MB. Chunk offsets
+# and widths stay multiples of 128 (Mosaic lane-slice alignment) because
+# build_fused_tables pads P to even whenever 64P > _SINGLE_MAX.
+_N_CHUNK = 1024
+_SINGLE_MAX = 1536
+
+
+def _fused_kernel(
+    meta_ref,  # SMEM (1, 2) int32 — [window bound (global), global start]
+    alph_ref,  # SMEM (1, C) int32 — sorted pattern alphabet
+    text_ref,  # VMEM (G*L128, 128) uint8 — this block's staged text view
+    km_ref,  # VMEM (B*128, 64P) bf16 — phase-folded ±1 kernel (2D: plane
+    # b occupies rows [b*128, (b+1)*128))
+    thr_ref,  # VMEM (1, 64P) f32 — per-column thresholds
+    out_ref,  # VMEM (1, 64P) int32 — accumulated per-column counts
+    *,
+    wf: int,
+    l128: int,  # staging-row width in 128-lane chunks (= (wf+halo)/128)
+    g: int,  # staging rows per grid step
+    n_rows: int,  # rows carrying real windows (grid may cover padding)
+    c_alpha: int,  # alphabet size (static)
+    b_planes: int,  # ±1 planes (static)
+    p: int,  # pattern columns per phase slot
+):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    m_rows = g * l128
+    sp = S_FUSED * p
+    tx = text_ref[:].astype(jnp.int32)  # (M, 128)
+
+    # Phase-1 view: text shifted 64 lanes forward with cross-row carry —
+    # y[r, l] = tx[r, l+64] (l < 64) else tx[r+1, l-64]. Both rolls are
+    # int32 (Mosaic's rotate constraint); the final sublane's wrapped
+    # garbage feeds only the halo chunk's outputs, which the ownership
+    # mask kills (j >= wf >= limit).
+    r1 = pltpu.roll(tx, shift=64, axis=1)
+    r2 = pltpu.roll(r1, shift=m_rows - 1, axis=0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (m_rows, 128), 1)
+    txs = jnp.where(lane < 64, r1, r2)
+
+    def planes_of(t32):
+        # Selects stay in the f32 domain: the i1 masks from int32
+        # compares carry (8, 128) tiling, and mixing them into
+        # (16, 128)-tiled bf16 selects is an invalid Mosaic relayout —
+        # the f32 select + one convert is the supported path.
+        eqs = [t32 == alph_ref[0, c] for c in range(c_alpha)]
+        valid = eqs[0]
+        for e in eqs[1:]:
+            valid = jnp.logical_or(valid, e)
+        neg = jnp.where(valid, jnp.float32(-1.0), jnp.float32(0.0))
+        out = []
+        for b in range(b_planes):
+            sel = [c for c in range(c_alpha) if (c >> b) & 1]
+            if sel:
+                pos = eqs[sel[0]]
+                for c in sel[1:]:
+                    pos = jnp.logical_or(pos, eqs[c])
+            else:  # every code has bit b clear (only if c_alpha == 1)
+                pos = jnp.zeros_like(valid)
+            out.append(
+                jnp.where(pos, jnp.float32(1.0), neg).astype(jnp.bfloat16)
+            )
+        return out
+
+    bound = meta_ref[0, 0]
+    start = meta_ref[0, 1]
+    # Per-row (sublane) ownership pieces, broadcast against column tiles.
+    rho1 = jax.lax.broadcasted_iota(jnp.int32, (m_rows, 1), 0)
+    u1 = rho1 % l128
+    r_abs = i * g + rho1 // l128
+    limit1 = jnp.where(
+        r_abs < n_rows,
+        jnp.clip(bound - start - r_abs * wf, 0, wf),
+        0,
+    )
+    base1 = u1 * 128  # window base of this text chunk
+
+    phases = ((0, planes_of(tx)), (1, planes_of(txs)))
+    nch = sp if sp <= _SINGLE_MAX else _N_CHUNK
+    cnts = []
+    for c0 in range(0, sp, nch):
+        nc = min(nch, sp - c0)
+        thrc = thr_ref[0:1, c0 : c0 + nc]
+        s_col = (
+            c0 + jax.lax.broadcasted_iota(jnp.int32, (m_rows, nc), 1)
+        ) // p
+        cnt = None
+        for phase, pls in phases:
+            acc = jnp.dot(
+                pls[0],
+                km_ref[0:128, c0 : c0 + nc],
+                preferred_element_type=jnp.float32,
+            )
+            for b in range(1, b_planes):
+                acc = acc + jnp.dot(
+                    pls[b],
+                    km_ref[b * 128 : (b + 1) * 128, c0 : c0 + nc],
+                    preferred_element_type=jnp.float32,
+                )
+            j = base1 + s_col + phase * 64
+            match = jnp.logical_and(acc >= thrc, j < limit1)
+            c = jnp.sum(match.astype(jnp.int32), axis=0, keepdims=True)
+            cnt = c if cnt is None else cnt + c
+        cnts.append(cnt)
+    total = cnts[0] if len(cnts) == 1 else jnp.concatenate(cnts, axis=1)
+    out_ref[:] += total
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "wf", "l128", "n_rows", "g", "p", "c_alpha", "b_planes",
+        "interpret", "p_out",
+    ),
+)
+def scan_corr_fused(
+    rows: jax.Array,  # (R, wf + halo) uint8 — folded staged corpus rows
+    km: jax.Array,  # (B*128, 64P) bf16 — build_fused_tables
+    thr: jax.Array,  # (1, 64P) f32
+    alph: jax.Array,  # (C,) uint8 — sorted pattern alphabet
+    bound: jax.Array,  # () int32 — global window bound (exclusive)
+    start: jax.Array,  # () int32 — global window index of row 0
+    *,
+    wf: int,
+    l128: int,
+    n_rows: int,
+    g: int,
+    p: int,
+    c_alpha: int,
+    b_planes: int,
+    interpret: bool = False,
+    p_out: int = 0,
+):
+    """(max(P, p_out),) int32 exact-match counts for this chunk's
+    device-owned windows — same call contract as
+    ``apm.ops.corr_engine.scan_corr_mxu`` (row ``r`` owns
+    ``[start + r*wf, start + (r+1)*wf) ∩ [0, bound)``; rows past
+    ``n_rows`` own nothing), same conformance target (the oracle).
+
+    The ``(R, wf + halo)`` staging buffer is viewed as
+    ``(R*(wf+halo)/128, 128)`` inside the jit — a row-major-compatible
+    reshape XLA lowers to a bitcast, so no relayout runs on device.
+    """
+    assert km.shape[1] == S_FUSED * p, (km.shape, p)
+    rows2 = rows.reshape(-1, 128) if rows.ndim == 2 and rows.shape[1] != 128 else rows
+    r2 = rows2.shape[0]
+    block = g * l128
+    pad = (-r2) % block
+    if pad:
+        rows2 = jnp.pad(rows2, ((0, pad), (0, 0)))
+        r2 += pad
+    grid = r2 // block
+    meta = jnp.stack(
+        [bound.astype(jnp.int32), start.astype(jnp.int32)]
+    ).reshape(1, 2)
+    alph2 = alph.astype(jnp.int32).reshape(1, -1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # meta
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # alphabet
+            pl.BlockSpec((block, 128), lambda i: (i, 0)),  # text view
+            pl.BlockSpec((b_planes * 128, S_FUSED * p), lambda i: (0, 0)),
+            pl.BlockSpec((1, S_FUSED * p), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, S_FUSED * p), lambda i: (0, 0), memory_space=pltpu.VMEM
+        ),
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _fused_kernel,
+            wf=wf, l128=l128, g=g, n_rows=n_rows,
+            c_alpha=c_alpha, b_planes=b_planes, p=p,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((1, S_FUSED * p), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            # 2 phases x B planes x (block, 128) @ (128, 64P) per step
+            flops=grid * 2 * b_planes * block * 128 * S_FUSED * p * 2,
+            bytes_accessed=r2 * 128,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(meta, alph2, rows2, km, thr)
+
+    counts = jnp.sum(out.reshape(S_FUSED, p), axis=0, dtype=jnp.int32)
+    if p_out > p:
+        counts = jnp.pad(counts, (0, p_out - p))
+    return counts

@@ -138,25 +138,50 @@ def count_multihost(scanner: "Scanner", path: str) -> np.ndarray:
         from .strategies import _filter_sharded
 
         if plan.use_corr:
-            from ..ops.corr_engine import _group_rows
-            from .strategies import _corr_sharded
-
-            kern_np, thr_np, corr_stride = scanner._corr_kernel()
-            dkern = jax.device_put(
-                kern_np, NamedSharding(mesh, P(None, None, None))
-            )
-            dthr = jax.device_put(thr_np, NamedSharding(mesh, P(None)))
             dalph = jax.device_put(
                 scanner._corr_alphabet(), NamedSharding(mesh, P(None))
             )
-            dev_counts = _corr_sharded(
-                shards, starts, dkern, dthr, dalph, dbound,
-                mesh=mesh, wf=wf, m_max=m_max, n_rows=rows_per,
-                g_rows=_group_rows(
-                    wf + halo, len(scanner._corr_alphabet()), rows_per
-                ),
-                stride=corr_stride, p_out=scanner._pat.shape[0],
-            )
+            if scanner._use_fused_corr(wf, halo):
+                from ..ops.corr_engine import n_bitplanes
+                from ..ops.corr_fused import S_FUSED, pick_g
+                from .strategies import _corr_fused_sharded
+
+                km_np, thr_np = scanner._corr_fused_tables()
+                l128 = (wf + halo) // 128
+                dev_counts = _corr_fused_sharded(
+                    shards, starts,
+                    jax.device_put(
+                        km_np, NamedSharding(mesh, P(None, None))
+                    ),
+                    jax.device_put(
+                        thr_np, NamedSharding(mesh, P(None, None))
+                    ),
+                    dalph, dbound,
+                    mesh=mesh, wf=wf, l128=l128, n_rows=rows_per,
+                    g=pick_g(rows_per, l128, km_np.shape[1] // S_FUSED),
+                    p=km_np.shape[1] // S_FUSED,
+                    c_alpha=len(scanner._corr_alphabet()),
+                    b_planes=n_bitplanes(len(scanner._corr_alphabet())),
+                    interpret=scanner.config.interpret,
+                    p_out=scanner._pat.shape[0],
+                )
+            else:
+                from ..ops.corr_engine import _group_rows
+                from .strategies import _corr_sharded
+
+                kern_np, thr_np, corr_stride = scanner._corr_kernel()
+                dkern = jax.device_put(
+                    kern_np, NamedSharding(mesh, P(None, None, None))
+                )
+                dthr = jax.device_put(thr_np, NamedSharding(mesh, P(None)))
+                dev_counts = _corr_sharded(
+                    shards, starts, dkern, dthr, dalph, dbound,
+                    mesh=mesh, wf=wf, m_max=m_max, n_rows=rows_per,
+                    g_rows=_group_rows(
+                        wf + halo, len(scanner._corr_alphabet()), rows_per
+                    ),
+                    stride=corr_stride, p_out=scanner._pat.shape[0],
+                )
             counts += np.asarray(dev_counts)
         if plan.any_dp:
             dev_counts = _database_sharded(

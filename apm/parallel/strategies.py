@@ -116,6 +116,43 @@ def _corr_sharded(
 
 @functools.partial(
     jax.jit,
+    static_argnames=(
+        "mesh", "wf", "l128", "n_rows", "g", "p", "c_alpha", "b_planes",
+        "interpret", "p_out",
+    ),
+)
+def _corr_fused_sharded(
+    shards, starts, km, thr, alph, bound, *, mesh, wf, l128, n_rows,
+    g, p, c_alpha, b_planes, interpret=False, p_out=0,
+):
+    """Sharded fused-Pallas k = 0 correlation (apm.ops.corr_fused): each
+    device runs the phase-split im2col kernel on its own window shard,
+    one psum joins the counts."""
+    from ..ops.corr_fused import scan_corr_fused
+
+    def body(shard, start, km, thr, alph, bound):
+        counts = scan_corr_fused(
+            shard[0], km, thr, alph, bound, start[0],
+            wf=wf, l128=l128, n_rows=n_rows, g=g, p=p,
+            c_alpha=c_alpha, b_planes=b_planes, interpret=interpret,
+            p_out=p_out,
+        )
+        return jax.lax.psum(counts, "data")
+
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            P("data", None, None), P("data"), P(None, None), P(None, None),
+            P(None), P(),
+        ),
+        out_specs=P(None),
+        check_vma=False,
+    )(shards, starts, km, thr, alph, bound)
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("mesh", "k", "m_max", "w", "halo", "plens", "interpret"),
 )
 def _filter_sharded(shards, starts, pat_raw, bound, *, mesh, k, m_max, w, halo, plens, interpret=False):
@@ -423,24 +460,51 @@ def count_database_over_devices(scanner: "Scanner", buf: np.ndarray, n_dev: int)
             dstarts = jax.device_put(starts, NamedSharding(mesh, P("data")))
             dbound = jax.device_put(np.int32(dev_bound), rep)
             if plan.use_corr:
-                from ..ops.corr_engine import _group_rows
-
-                kern_np, thr_np, corr_stride = scanner._corr_kernel()
-                dkern = jax.device_put(
-                    kern_np, NamedSharding(mesh, P(None, None, None))
-                )
-                dthr = jax.device_put(thr_np, NamedSharding(mesh, P(None)))
                 dalph = jax.device_put(
                     scanner._corr_alphabet(), NamedSharding(mesh, P(None))
                 )
-                dev = _corr_sharded(
-                    dshards, dstarts, dkern, dthr, dalph, dbound,
-                    mesh=mesh, wf=wf, m_max=m_max, n_rows=rows_per,
-                    g_rows=_group_rows(
-                        wf + halo, len(scanner._corr_alphabet()), rows_per
-                    ),
-                    stride=corr_stride, p_out=p_pad,
-                )
+                if scanner._use_fused_corr(wf, halo):
+                    from ..ops.corr_engine import n_bitplanes
+                    from ..ops.corr_fused import S_FUSED, pick_g
+
+                    km_np, thr_np = scanner._corr_fused_tables()
+                    l128 = (wf + halo) // 128
+                    dev = _corr_fused_sharded(
+                        dshards, dstarts,
+                        jax.device_put(
+                            km_np, NamedSharding(mesh, P(None, None))
+                        ),
+                        jax.device_put(
+                            thr_np, NamedSharding(mesh, P(None, None))
+                        ),
+                        dalph, dbound,
+                        mesh=mesh, wf=wf, l128=l128, n_rows=rows_per,
+                        g=pick_g(rows_per, l128, km_np.shape[1] // S_FUSED),
+                        p=km_np.shape[1] // S_FUSED,
+                        c_alpha=len(scanner._corr_alphabet()),
+                        b_planes=n_bitplanes(len(scanner._corr_alphabet())),
+                        interpret=scanner.config.interpret,
+                        p_out=p_pad,
+                    )
+                else:
+                    from ..ops.corr_engine import _group_rows
+
+                    kern_np, thr_np, corr_stride = scanner._corr_kernel()
+                    dkern = jax.device_put(
+                        kern_np, NamedSharding(mesh, P(None, None, None))
+                    )
+                    dthr = jax.device_put(
+                        thr_np, NamedSharding(mesh, P(None))
+                    )
+                    dev = _corr_sharded(
+                        dshards, dstarts, dkern, dthr, dalph, dbound,
+                        mesh=mesh, wf=wf, m_max=m_max, n_rows=rows_per,
+                        g_rows=_group_rows(
+                            wf + halo, len(scanner._corr_alphabet()),
+                            rows_per,
+                        ),
+                        stride=corr_stride, p_out=p_pad,
+                    )
                 counts += np.asarray(dev)
             if plan.any_dp:
                 dev = _database_sharded(

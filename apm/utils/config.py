@@ -45,6 +45,13 @@ class ApmConfig:
     # at k = 0 for small-alphabet pattern sets automatically) and raises
     # when the scan is ineligible for it.
     engine: str = "auto"
+    # k = 0 correlation implementation: "auto" runs the fused Pallas
+    # phase-split-im2col kernel (apm.ops.corr_fused — encode + MXU matmul
+    # + count in one kernel; measured 1.5-1.8x the XLA conv at P <= 16,
+    # a wash at P = 64) whenever it is eligible (m_max <= 65) and the XLA
+    # conv (apm.ops.corr_engine) otherwise; "conv" pins the XLA conv;
+    # "fused" demands the Pallas kernel and raises when ineligible.
+    corr_impl: str = "auto"
     # DP cell dtype for the Pallas kernel: "int32" (the only option on TPU
     # hardware — v5e has no packed 16/8-bit vector compares, DESIGN.md §1),
     # or "int16"/"int8" as CPU/interpret-mode test layouts (the <= k verdict
@@ -92,6 +99,8 @@ class ApmConfig:
             raise ValueError(f"unknown strategy {self.strategy!r}")
         if self.engine not in ("auto", "dp", "filter", "corr"):
             raise ValueError(f"unknown engine {self.engine!r}")
+        if self.corr_impl not in ("auto", "conv", "fused"):
+            raise ValueError(f"unknown corr_impl {self.corr_impl!r}")
         if self.dp_dtype not in ("int32", "int16", "int8"):
             raise ValueError(f"unknown dp_dtype {self.dp_dtype!r}")
         if self.dp_impl not in ("auto", "band", "myers"):

@@ -25,13 +25,15 @@ Ops models (per corpus byte == per window start; P = real patterns):
 * Myers bit-parallel band: ~(2C + 25) ops per step per (window,
   pattern) — C text-channel compares + C PEQ selects + ~15 bit ops +
   carry bookkeeping, independent of k (DESIGN.md §1b).
-* corr / conv phase 1 (MXU): 2 * N * w_kern_full * C FLOPs per byte,
-  where N is base output channels (patterns or pieces) and w_kern_full
-  includes the shift-fold widening (m + S - 1). Its VPU side is the
-  one-hot encode, calibrated against the measured encode-only floor
-  (ENC_OPS_PER_ELEM; DESIGN.md §8).
-* HBM: uint8 read + (for conv engines) one-hot write+read at bf16:
-  ~(1 + 4*C) bytes of traffic per corpus byte.
+* corr / conv phase 1 (MXU): 2 * N * w_kern_full * B FLOPs per byte,
+  where N is base output channels (patterns or pieces), w_kern_full
+  includes the shift-fold widening (m + S - 1), and B = n_bitplanes(C)
+  is the ±1 code-bit channel count (2 for DNA — round 5 halved the
+  channel axis vs one-hot). Its VPU side is the bit-plane encode,
+  calibrated against the measured encode-only floor (ENC_OPS_PER_ELEM;
+  DESIGN.md §8).
+* HBM: uint8 read + (for conv engines) bit-plane write+read at bf16:
+  ~(1 + 4*B) bytes of traffic per corpus byte.
 
 These are *models*, good to ~2x — their value is telling "8x from the
 roof" apart from "at the roof", which MB/s alone cannot.
@@ -123,12 +125,31 @@ def corr_model(
     total pieces for ``scan_pieces_conv``); ``w_kern_full`` = conv kernel
     width INCLUDING the shift-fold widening (m + S - 1). FLOPs per byte
     are stride-invariant given the full width: outputs/byte = n_base,
-    each 2 * w_kern_full * C FLOPs.
+    each 2 * w_kern_full * B FLOPs, where B = n_bitplanes(C) is the ±1
+    bit-plane channel count (round 5: the channel axis carries code bits,
+    not one-hot symbols — DESIGN.md §8).
     """
-    c = max(alphabet_size, 1)
-    mxu = 2.0 * n_base * w_kern_full * c
-    vpu = ENC_OPS_PER_ELEM * c  # one-hot encode (calibrated, see above)
-    hbm = 1.0 + 4.0 * c  # uint8 read + bf16 one-hot write + read
+    from ..ops.corr_engine import n_bitplanes
+
+    b = n_bitplanes(alphabet_size)
+    mxu = 2.0 * n_base * w_kern_full * b
+    vpu = ENC_OPS_PER_ELEM * b  # bit-plane encode (calibrated, see above)
+    hbm = 1.0 + 4.0 * b  # uint8 read + bf16 plane write + read
+    return OpsModel(vpu, mxu, hbm, _pick_binding(vpu, mxu, hbm))
+
+
+def fused_corr_model(p_slots: int, alphabet_size: int) -> OpsModel:
+    """Fused Pallas correlation (apm.ops.corr_fused): per-byte MACs are
+    ``128 * B * P`` (one K-tile per phase, 64 window phases folded into
+    columns), and the VPU side is the in-kernel encode + epilogue
+    (~30 + 4*P ops/byte — two orders below the XLA encode's calibrated
+    cost, which is the point of the kernel)."""
+    from ..ops.corr_engine import n_bitplanes
+
+    b = n_bitplanes(alphabet_size)
+    mxu = 2.0 * 128 * b * p_slots
+    vpu = 30.0 + 4.0 * p_slots
+    hbm = 1.0  # uint8 text read; everything else lives in VMEM
     return OpsModel(vpu, mxu, hbm, _pick_binding(vpu, mxu, hbm))
 
 
@@ -159,8 +180,14 @@ def model_for_scanner(scanner, n: int) -> Optional[OpsModel]:
     vpu = mxu = 0.0
     hbm = 1.0
     if plan.use_corr:
-        kern, thr, stride = scanner._corr_kernel()
-        m = corr_model(kern.shape[2] // stride, kern.shape[0], c)
+        if scanner._use_fused_corr(plan.wf, plan.halo):
+            from ..ops.corr_fused import S_FUSED
+
+            km, _thr = scanner._corr_fused_tables()
+            m = fused_corr_model(km.shape[1] // S_FUSED, c)
+        else:
+            kern, thr, stride = scanner._corr_kernel()
+            m = corr_model(kern.shape[2] // stride, kern.shape[0], c)
         vpu += m.vpu_ops
         mxu += m.mxu_flops
         hbm = max(hbm, m.hbm_bytes)

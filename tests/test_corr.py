@@ -300,9 +300,15 @@ def test_strided_shift_fold_equivalence():
     alph = build_alphabet(pats)
 
     outs = {}
+    from apm.ops.corr_engine import n_bitplanes
+
     for stride in (1, 4, pick_stride(len(pats))):
         kern, thr = build_kernel(pat_raw, plens, alph, stride=stride)
-        assert kern.shape == (m_max + stride - 1, len(alph), len(pats) * stride)
+        assert kern.shape == (
+            m_max + stride - 1,
+            n_bitplanes(len(alph)),
+            len(pats) * stride,
+        )
         outs[stride] = np.asarray(
             scan_corr_mxu(
                 jnp.asarray(rows), jnp.asarray(kern), jnp.asarray(thr),

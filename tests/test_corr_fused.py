@@ -1,0 +1,171 @@
+"""Conformance for the fused Pallas correlation (apm.ops.corr_fused).
+
+The fused kernel must match the XLA conv engine (itself oracle-
+conformance-tested in test_corr.py) bit-for-bit on counts — including
+window-bound clipping, group padding, the column-chunked wide-P path,
+mixed pattern lengths, and NUL-bearing binary alphabets (the staging
+padding aliasing case the n_rows mask exists for).
+"""
+
+import numpy as np
+import pytest
+
+import apm
+from apm import ApmConfig
+
+
+def _rows_of(corpus, wf, halo, n_rows):
+    rows = np.zeros((n_rows, wf + halo), np.uint8)
+    for r in range(n_rows):
+        seg = corpus[r * wf : r * wf + wf + halo]
+        rows[r, : len(seg)] = seg
+    return rows
+
+
+def _both(rows, pats, plens, bound, start, wf, halo, n_rows, g_rows=7):
+    import jax.numpy as jnp
+
+    from apm.ops.corr_engine import (
+        build_alphabet, build_kernel, n_bitplanes, scan_corr_mxu,
+    )
+    from apm.ops.corr_fused import (
+        S_FUSED, build_fused_tables, scan_corr_fused,
+    )
+
+    m_max = max(plens)
+    pat_raw = np.zeros((len(pats), m_max), np.uint8)
+    for i, p in enumerate(pats):
+        pat_raw[i, : len(p)] = np.frombuffer(p, np.uint8)
+    alph = build_alphabet(pats)
+    kern, thr = build_kernel(pat_raw, plens, alph)
+    ref = np.asarray(
+        scan_corr_mxu(
+            jnp.asarray(rows), jnp.asarray(kern), jnp.asarray(thr),
+            jnp.asarray(alph), jnp.asarray(bound, jnp.int32),
+            jnp.asarray(start, jnp.int32),
+            wf=wf, m_max=m_max, n_rows=n_rows, g_rows=g_rows,
+        )
+    )
+    km, thr2 = build_fused_tables(pat_raw, plens, alph)
+    got = np.asarray(
+        scan_corr_fused(
+            jnp.asarray(rows), jnp.asarray(km), jnp.asarray(thr2),
+            jnp.asarray(alph), jnp.asarray(bound, jnp.int32),
+            jnp.asarray(start, jnp.int32),
+            wf=wf, l128=(wf + halo) // 128, n_rows=n_rows, g=8,
+            p=km.shape[1] // S_FUSED, c_alpha=len(alph),
+            b_planes=n_bitplanes(len(alph)), interpret=True,
+        )
+    )
+    return ref, got[: len(pats)]
+
+
+def _corpus(n, seed, alphabet=b"ACGT"):
+    rng = np.random.default_rng(seed)
+    a = np.frombuffer(alphabet, np.uint8)
+    return a[rng.integers(0, len(a), size=n)]
+
+
+def test_fused_matches_conv_basic():
+    wf, halo, n_rows = 512, 128, 21
+    corpus = _corpus(n_rows * wf + 200, 5)
+    pats = [b"ACGTACGTACGTAC", bytes(corpus[3000:3050]), b"TTTTT"]
+    for t in range(30):
+        pos = (t * 7717) % (len(corpus) - 50)
+        pat = pats[t % 3]
+        corpus[pos : pos + len(pat)] = np.frombuffer(pat, np.uint8)
+    plens = [len(p) for p in pats]
+    bound = len(corpus) - max(plens) + 1
+    rows = _rows_of(corpus, wf, halo, n_rows)
+    ref, got = _both(rows, pats, plens, bound, 0, wf, halo, n_rows)
+    assert ref.sum() > 0
+    assert got.tolist() == ref.tolist()
+
+
+def test_fused_wide_p_chunked_and_padded():
+    # 27 patterns -> 64*27 = 1728 > _SINGLE_MAX: column chunking + the
+    # odd-P padding slot.
+    wf, halo, n_rows = 512, 128, 9
+    corpus = _corpus(n_rows * wf + 100, 6)
+    pats = [bytes(_corpus(33, 100 + i)) for i in range(27)]
+    for i, p in enumerate(pats):
+        pos = 100 + i * 97
+        corpus[pos : pos + 33] = np.frombuffer(p, np.uint8)
+    plens = [33] * 27
+    bound = len(corpus) - 33 + 1
+    rows = _rows_of(corpus, wf, halo, n_rows)
+    ref, got = _both(rows, pats, plens, bound, 0, wf, halo, n_rows)
+    assert ref.sum() >= 27
+    assert got.tolist() == ref.tolist()
+
+
+def test_fused_bound_clip_and_start():
+    wf, halo, n_rows = 512, 128, 13
+    corpus = _corpus(n_rows * wf + 100, 7)
+    pats = [bytes(corpus[100:140])]
+    plens = [40]
+    rows = _rows_of(corpus, wf, halo, n_rows)
+    start = 4 * wf
+    bound = start + 7 * wf - 333  # mid-row clip
+    ref, got = _both(
+        rows[4:], pats, plens, bound, start, wf, halo, n_rows - 4
+    )
+    assert got.tolist() == ref.tolist()
+
+
+def test_fused_nul_alphabet_padding_mask():
+    # NUL is IN the alphabet: zero-filled staging padding rows would
+    # alias real symbols; the n_rows mask must keep them silent.
+    wf, halo, n_rows = 512, 128, 5
+    rng = np.random.default_rng(8)
+    a = np.frombuffer(b"\x00\x01", np.uint8)
+    corpus = a[rng.integers(0, 2, size=n_rows * wf - 64)]  # short tail
+    pats = [b"\x00" * 12, bytes(corpus[64:96])]
+    plens = [len(p) for p in pats]
+    bound = len(corpus) - max(plens) + 1
+    rows = _rows_of(corpus, wf, halo, n_rows)
+    ref, got = _both(rows, pats, plens, bound, 0, wf, halo, n_rows)
+    assert ref.sum() > 0  # all-NUL runs occur at this density
+    assert got.tolist() == ref.tolist()
+
+
+def test_scanner_corr_impl_dispatch_and_conformance():
+    from apm.utils.oracle import count_matches
+
+    corpus = _corpus(200_000, 9)
+    pats = [bytes(corpus[500:550]), bytes(corpus[70_000:70_032]), b"ACGT" * 13]
+    expected = count_matches(corpus, pats, 0)
+    outs = {}
+    for impl in ("conv", "fused", "auto"):
+        sc = apm.Scanner(
+            pats, 0,
+            ApmConfig(backend="pallas", interpret=True, corr_impl=impl,
+                      engine="corr"),
+        )
+        outs[impl] = sc.count(corpus).tolist()
+    assert outs["conv"] == expected
+    assert outs["fused"] == expected
+    assert outs["auto"] == expected
+
+
+def test_corr_impl_fused_raises_when_ineligible():
+    # m_max = 80 > M_MAX_FUSED: 'fused' must refuse, 'auto' must fall
+    # back to the conv engine with identical counts.
+    from apm.utils.oracle import count_matches
+
+    corpus = _corpus(100_000, 10)
+    pats = [bytes(corpus[1000:1080])]
+    expected = count_matches(corpus, pats, 0)
+    sc = apm.Scanner(
+        pats, 0,
+        ApmConfig(backend="pallas", interpret=True, corr_impl="fused",
+                  engine="corr"),
+    )
+    with pytest.raises(ValueError):
+        sc.count(corpus)
+    sc_auto = apm.Scanner(
+        pats, 0,
+        ApmConfig(backend="pallas", interpret=True, corr_impl="auto",
+                  engine="corr"),
+    )
+    assert sc_auto.count(corpus).tolist() == expected

@@ -30,14 +30,16 @@ def test_myers_model_k_independent():
 
 
 def test_corr_model_binding_and_roof():
-    # DNA-ish: 6 patterns, m=50, S=16 fold -> w_kern_full=65, C=5.
+    # DNA-ish: 6 patterns, m=50, S=16 fold -> w_kern_full=65, C=5 ->
+    # B = n_bitplanes(5) = 3 ±1 planes (round 5).
     m = corr_model(6, 65, 5)
-    assert m.mxu_flops == 2 * 6 * 65 * 5
+    assert m.mxu_flops == 2 * 6 * 65 * 3
     # The calibrated encode makes the VPU the binding resource at small N
-    # (matches DESIGN §8: "bound by the VPU one-hot encode").
+    # (matches DESIGN §8: "bound by the VPU encode").
     assert m.binding == "vpu"
-    # Roof must be near the measured 8.4 GB/s encode floor (C=5).
-    assert 6e9 < m.roof_bytes_per_s() < 12e9
+    # Roof = PEAK_VPU / (ENC_OPS_PER_ELEM * 3) — tracks the calibrated
+    # per-element encode cost, ~14 GB/s at the one-hot-era 90 ops/elem.
+    assert 8e9 < m.roof_bytes_per_s() < 25e9
 
 
 def test_mfu_fractions_consistent():
