@@ -259,6 +259,70 @@ class Scanner:
         self._fp1_cache = (plens_filter, tables)
         return tables
 
+    def _fp1_fused_tables(self, plens_filter: tuple):
+        """Fused-Pallas piece tables for conv phase 1 (cached per split):
+        ``(km, thr, owner64)`` — see
+        ``apm.ops.corr_fused.build_fused_piece_tables``."""
+        cached = getattr(self, "_fp1_fused_cache", None)
+        if cached is not None and cached[0] == plens_filter:
+            return cached[1]
+        from ..ops.corr_fused import build_fused_piece_tables
+
+        tables = build_fused_piece_tables(
+            self._pat_raw, plens_filter, self.k, self._corr_alphabet()
+        )
+        self._fp1_fused_cache = (plens_filter, tables)
+        return tables
+
+    def _fp1_call(
+        self, drows, dpat, dbound, dstart, plan, *, n_rows, max_hot
+    ):
+        """One conv-phase-1 + shared-phase-2 chunk call, dispatched to the
+        fused Pallas piece scan or the XLA piece conv (same
+        ``(packed, rowmap)`` contract)."""
+        from ..ops.corr_fused import S_FUSED, pick_g
+
+        wf, halo = plan.wf, plan.halo
+        alph = self._corr_alphabet()
+        common = dict(
+            k=self.k, m_max=self.m_max, wf=wf, halo=halo,
+            plens=plan.plens_filter, max_hot=max_hot,
+            dp_dtype=self.config.dp_dtype,
+            alphabet=self._dp_alphabet(),
+            dp_impl=self.config.dp_impl,
+            interpret=self.config.interpret,
+        )
+        if self._use_fused_corr(wf, halo):
+            from ..ops.corr_engine import n_bitplanes
+            from ..ops.fused import filter_verify_chunk_fused
+
+            km, thr, owner64 = self._fp1_fused_tables(plan.plens_filter)
+            l128 = (wf + halo) // 128
+            n_slots = km.shape[1] // S_FUSED
+            return filter_verify_chunk_fused(
+                drows, jax.numpy.asarray(km), jax.numpy.asarray(thr),
+                jax.numpy.asarray(owner64), jax.numpy.asarray(alph),
+                dpat, dbound, dstart,
+                l128=l128, n_rows=n_rows,
+                g=pick_g(n_rows, l128, n_slots), n_slots=n_slots,
+                p_pat=owner64.shape[1], c_alpha=len(alph),
+                b_planes=n_bitplanes(len(alph)), **common,
+            )
+        from ..ops.corr_engine import _group_rows
+        from ..ops.fused import filter_verify_chunk_conv
+
+        pk_np, pt_np, ow_np, fp1_stride = self._fp1_kernel(
+            plan.plens_filter
+        )
+        return filter_verify_chunk_conv(
+            drows, jax.numpy.asarray(pk_np), jax.numpy.asarray(pt_np),
+            jax.numpy.asarray(ow_np), jax.numpy.asarray(alph),
+            dpat, dbound, dstart,
+            w_kern=pk_np.shape[0], n_rows=n_rows,
+            g_rows=_group_rows(wf + halo, len(alph), n_rows),
+            fp1_stride=fp1_stride, **common,
+        )
+
     @staticmethod
     def _immutable(buf) -> bool:
         """True when no numpy handle can mutate ``buf``'s bytes: every
@@ -542,21 +606,6 @@ class Scanner:
         if fp == "auto":
             fp = self._corpus_fp(buf)
 
-        if plan.fp1_conv:
-            from ..ops.corr_engine import _group_rows
-            from ..ops.fused import filter_verify_chunk_conv
-
-            pk_np, pt_np, ow_np, fp1_stride = self._fp1_kernel(
-                plan.plens_filter
-            )
-            dpkern = jax.numpy.asarray(pk_np)
-            dpthr = jax.numpy.asarray(pt_np)
-            downer = jax.numpy.asarray(ow_np)
-            dpalph = jax.numpy.asarray(self._corr_alphabet())
-            fp1_g_rows = _group_rows(
-                wf + halo, len(self._corr_alphabet()), n_rows
-            )
-
         handles = []  # (P,)-shaped device counts, fetched after the loop
         raw_chunks = []  # (c0, packed handle, rowmap handle)
         for c0 in range(0, dev_bound, chunk_win):
@@ -590,18 +639,9 @@ class Scanner:
                     )
                     handles.append(fcnt)  # exact: candidates ARE matches
                 elif plan.fp1_conv:
-                    packed, rowmap = filter_verify_chunk_conv(
-                        drows, dpkern, dpthr, downer, dpalph, dpat,
-                        dbound, dc0,
-                        k=k, m_max=self.m_max, wf=wf, halo=halo,
-                        plens=plan.plens_filter,
-                        w_kern=dpkern.shape[0], n_rows=n_rows,
-                        g_rows=fp1_g_rows, fp1_stride=fp1_stride,
-                        max_hot=max_hot,
-                        dp_dtype=self.config.dp_dtype,
-                        alphabet=self._dp_alphabet(),
-                        dp_impl=self.config.dp_impl,
-                        interpret=self.config.interpret,
+                    packed, rowmap = self._fp1_call(
+                        drows, dpat, dbound, dc0, plan,
+                        n_rows=n_rows, max_hot=max_hot,
                     )
                     raw_chunks.append((c0, packed, rowmap, drows))
                 else:
@@ -962,29 +1002,9 @@ class Scanner:
                 return
             max_hot = pick_max_hot(n_rows, wf, plan.plens_filter, k)
             if plan.fp1_conv:
-                from ..ops.corr_engine import _group_rows
-                from ..ops.fused import filter_verify_chunk_conv
-
-                pk_np, pt_np, ow_np, fp1_stride = self._fp1_kernel(
-                    plan.plens_filter
-                )
-                packed, rowmap = filter_verify_chunk_conv(
-                    rows, jax.numpy.asarray(pk_np),
-                    jax.numpy.asarray(pt_np), jax.numpy.asarray(ow_np),
-                    jax.numpy.asarray(self._corr_alphabet()),
-                    jax.numpy.asarray(self._pat), zero32, zero32,
-                    k=k, m_max=self.m_max, wf=wf, halo=halo,
-                    plens=plan.plens_filter, w_kern=pk_np.shape[0],
-                    n_rows=n_rows,
-                    g_rows=_group_rows(
-                        wf + halo, len(self._corr_alphabet()), n_rows
-                    ),
-                    fp1_stride=fp1_stride,
-                    max_hot=max_hot,
-                    dp_dtype=self.config.dp_dtype,
-                    alphabet=self._dp_alphabet(),
-                    dp_impl=self.config.dp_impl,
-                    interpret=self.config.interpret,
+                packed, rowmap = self._fp1_call(
+                    rows, jax.numpy.asarray(self._pat), zero32, zero32,
+                    plan, n_rows=n_rows, max_hot=max_hot,
                 )
                 np.asarray(packed)
             else:

@@ -111,10 +111,14 @@ def pick_g(n_rows: int, l128: int, P: int) -> int:
     """Staging rows per grid step. The text block's sublane dim
     ``g*l128`` must be a multiple of 8 and ``l128`` is odd, so ``g`` is
     a multiple of 8; the f32 corr tile is bounded by column chunking
-    (``_N_CHUNK``), not by ``g``. 8 keeps the per-step working set a
-    few MB at any P."""
+    (``_N_CHUNK``), not by ``g``. Measured on chip (256 MB, m = 50):
+    g = 16 beats 8/24/32 at both P = 6 (8.52 vs 8.06/7.10/6.19 GB/s)
+    and P = 64 (3.56 vs 3.41/3.35) — enough rows to amortize the
+    per-step rolls/encode, small enough to keep the working set in
+    VMEM's sweet spot."""
     del l128, P
-    return 8 if n_rows >= 8 else 8  # callers pad partial blocks
+    del n_rows  # callers pad partial blocks
+    return 16
 
 
 # Column-chunk width for the matmul/epilogue when 64P exceeds it: bounds
@@ -317,3 +321,255 @@ def scan_corr_fused(
     if p_out > p:
         counts = jnp.pad(counts, (0, p_out - p))
     return counts
+
+
+# ---------------------------------------------------------------------------
+# Fused conv phase 1 for pigeonhole filtration (k >= 1): same phase-split
+# im2col layout, piece columns instead of pattern columns, and a per-
+# staging-row candidacy epilogue instead of a count reduction.
+#
+# Position coverage: row-any candidacy must see piece hits at every
+# stride-1 position up to wf - 1 + (m_p - l_last) + k (the furthest
+# drifted piece start of an owned window — corr_engine's halo proof).
+# For fused-eligible patterns (m <= 65, exact tier => k <= 4 and piece
+# length l >= max(k, 8)): m - l_last + k <= (m - l) + k <= 57 + 4 = 61
+# < 64, so the two phases' union [0, wf + 64) covers every needed
+# position; phase-1 positions of the last 128-chunk (which would read
+# the sublane-roll's wrapped garbage) start at >= wf + halo - 64 >=
+# wf + 64 and are masked out by the same j < wf + 64 bound.
+
+
+def build_fused_piece_tables(
+    pat_raw: np.ndarray, plens, k: int, alphabet: np.ndarray
+):
+    """±1 phase-folded PIECE tables for the fused phase 1:
+    ``(km (B*128, 64*Np) bf16, thr (1, 64*Np) f32, owner64 (64*Np, P)
+    f32)`` where Np is the (possibly even-padded) piece-slot count and
+    ``owner64[s*Np + n, p]`` maps piece hits straight onto patterns —
+    the owner fold happens inside the kernel's chunked matmul."""
+    from .filter_kernel import pieces_of_j, tier_of
+
+    P, m_max = pat_raw.shape
+    assert m_max <= M_MAX_FUSED, m_max
+    B = n_bitplanes(len(alphabet))
+    pieces = []  # (pattern index, offset, length)
+    for pi in range(P):
+        m = plens[pi]
+        if m == 0:
+            continue
+        j, kp = tier_of(m, k)
+        assert kp == 0, "fused phase 1 is exact-tier only"
+        for off, length in pieces_of_j(m, j):
+            assert length <= M_MAX_FUSED
+            pieces.append((pi, off, length))
+    n = len(pieces)
+    n_pad = n + (n % 2 if S_FUSED * n > _SINGLE_MAX else 0)
+    km = np.zeros((B, 128, S_FUSED * n_pad), dtype=np.float32)
+    thr = np.full(
+        (1, S_FUSED * n_pad), np.float32(2**30), dtype=np.float32
+    )
+    owner64 = np.zeros((S_FUSED * n_pad, P), dtype=np.float32)
+    for ni, (pi, off, length) in enumerate(pieces):
+        for s in range(S_FUSED):
+            col = s * n_pad + ni
+            thr[0, col] = B * length
+            owner64[col, pi] = 1.0
+            for i in range(length):
+                ci = int(np.searchsorted(alphabet, pat_raw[pi, off + i]))
+                for b in range(B):
+                    km[b, s + i, col] = 1.0 if (ci >> b) & 1 else -1.0
+    return (
+        km.reshape(B * 128, S_FUSED * n_pad).astype(jnp.bfloat16),
+        thr,
+        owner64,
+    )
+
+
+def _fused_pieces_kernel(
+    meta_ref,  # SMEM (1, 2) int32 — [window bound (global), global start]
+    alph_ref,  # SMEM (1, C) int32 — sorted pattern alphabet
+    text_ref,  # VMEM (G*L128, 128) uint8 — this block's staged text view
+    km_ref,  # VMEM (B*128, 64*Np) bf16 — phase-folded piece kernel
+    thr_ref,  # VMEM (1, 64*Np) f32 — per-column thresholds
+    own_ref,  # VMEM (64*Np, P) f32 — phase-folded piece -> pattern map
+    out_ref,  # VMEM (G*L128, P) f32 — per-128-chunk piece-hit counts
+    *,
+    wf: int,
+    l128: int,
+    g: int,
+    n_rows: int,
+    c_alpha: int,
+    b_planes: int,
+    n_slots: int,  # piece slots per phase (Np)
+    p_pat: int,  # pattern columns of the owner map
+):
+    i = pl.program_id(0)
+    m_rows = g * l128
+    sp = S_FUSED * n_slots
+    tx = text_ref[:].astype(jnp.int32)
+
+    r1 = pltpu.roll(tx, shift=64, axis=1)
+    r2 = pltpu.roll(r1, shift=m_rows - 1, axis=0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (m_rows, 128), 1)
+    txs = jnp.where(lane < 64, r1, r2)
+
+    def planes_of(t32):
+        eqs = [t32 == alph_ref[0, c] for c in range(c_alpha)]
+        valid = eqs[0]
+        for e in eqs[1:]:
+            valid = jnp.logical_or(valid, e)
+        neg = jnp.where(valid, jnp.float32(-1.0), jnp.float32(0.0))
+        out = []
+        for b in range(b_planes):
+            sel = [c for c in range(c_alpha) if (c >> b) & 1]
+            if sel:
+                pos = eqs[sel[0]]
+                for c in sel[1:]:
+                    pos = jnp.logical_or(pos, eqs[c])
+            else:
+                pos = jnp.zeros_like(valid)
+            out.append(
+                jnp.where(pos, jnp.float32(1.0), neg).astype(jnp.bfloat16)
+            )
+        return out
+
+    bound = meta_ref[0, 0]
+    start = meta_ref[0, 1]
+    rho1 = jax.lax.broadcasted_iota(jnp.int32, (m_rows, 1), 0)
+    u1 = rho1 % l128
+    r_abs = i * g + rho1 // l128
+    # Row-any candidacy: a live staging row is one owning >= 1 valid
+    # window (same gate as scan_pieces_conv); the position bound is the
+    # coverage bound j < wf + 64, NOT the ownership limit.
+    live = jnp.logical_and(r_abs < n_rows, start + r_abs * wf < bound)
+    base1 = u1 * 128
+    jmax = wf + S_FUSED
+
+    total = jnp.zeros((m_rows, p_pat), jnp.float32)
+    nch = sp if sp <= _SINGLE_MAX else _N_CHUNK
+    for phase, t32 in ((0, tx), (1, txs)):
+        pls = planes_of(t32)
+        for c0 in range(0, sp, nch):
+            nc = min(nch, sp - c0)
+            acc = jnp.dot(
+                pls[0],
+                km_ref[0:128, c0 : c0 + nc],
+                preferred_element_type=jnp.float32,
+            )
+            for b in range(1, b_planes):
+                acc = acc + jnp.dot(
+                    pls[b],
+                    km_ref[b * 128 : (b + 1) * 128, c0 : c0 + nc],
+                    preferred_element_type=jnp.float32,
+                )
+            s_col = (
+                c0
+                + jax.lax.broadcasted_iota(jnp.int32, (m_rows, nc), 1)
+            ) // n_slots
+            j = base1 + s_col + phase * 64
+            hit = jnp.logical_and(
+                acc >= thr_ref[0:1, c0 : c0 + nc],
+                jnp.logical_and(j < jmax, live),
+            )
+            hitf = jnp.where(hit, jnp.float32(1.0), jnp.float32(0.0))
+            total = total + jnp.dot(
+                hitf,
+                own_ref[c0 : c0 + nc, :],
+                preferred_element_type=jnp.float32,
+            )
+    out_ref[:] = total
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "wf", "l128", "n_rows", "g", "n_slots", "p_pat", "c_alpha",
+        "b_planes", "interpret",
+    ),
+)
+def scan_pieces_fused(
+    rows: jax.Array,  # (R, wf + halo) uint8 — folded staged corpus rows
+    km: jax.Array,  # (B*128, 64*Np) bf16 — build_fused_piece_tables
+    thr: jax.Array,  # (1, 64*Np) f32
+    owner64: jax.Array,  # (64*Np, P) f32
+    alph: jax.Array,  # (C,) uint8 — sorted pattern alphabet
+    bound: jax.Array,  # () int32 — global window bound (exclusive)
+    start: jax.Array,  # () int32 — global window index of row 0
+    *,
+    wf: int,
+    l128: int,
+    n_rows: int,
+    g: int,
+    n_slots: int,
+    p_pat: int,
+    c_alpha: int,
+    b_planes: int,
+    interpret: bool = False,
+):
+    """Fused phase 1: ``(fcnt (P,) int32, rowmap (R, P) int32)`` — the
+    ``scan_pieces_conv`` contract (fcnt is a conservative candidate
+    proxy, 0 iff no candidates; rowmap flags rows with any piece hit;
+    non-live rows never go hot). Hit totals may differ from the conv's
+    (each engine counts a different sound superset of positions);
+    everything downstream consumes only hot/cold and fcnt == 0."""
+    assert km.shape[1] == S_FUSED * n_slots, (km.shape, n_slots)
+    rows2 = (
+        rows.reshape(-1, 128)
+        if rows.ndim == 2 and rows.shape[1] != 128
+        else rows
+    )
+    r2 = rows2.shape[0]
+    block = g * l128
+    pad = (-r2) % block
+    if pad:
+        rows2 = jnp.pad(rows2, ((0, pad), (0, 0)))
+        r2 += pad
+    grid = r2 // block
+    meta = jnp.stack(
+        [bound.astype(jnp.int32), start.astype(jnp.int32)]
+    ).reshape(1, 2)
+    alph2 = alph.astype(jnp.int32).reshape(1, -1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # meta
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # alphabet
+            pl.BlockSpec((block, 128), lambda i: (i, 0)),  # text view
+            pl.BlockSpec(
+                (b_planes * 128, S_FUSED * n_slots), lambda i: (0, 0)
+            ),
+            pl.BlockSpec((1, S_FUSED * n_slots), lambda i: (0, 0)),
+            pl.BlockSpec((S_FUSED * n_slots, p_pat), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (block, p_pat), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+    )
+    per_rho = pl.pallas_call(
+        functools.partial(
+            _fused_pieces_kernel,
+            wf=wf, l128=l128, g=g, n_rows=n_rows,
+            c_alpha=c_alpha, b_planes=b_planes, n_slots=n_slots,
+            p_pat=p_pat,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((r2, p_pat), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=grid * 2 * b_planes * block * 128 * S_FUSED * n_slots * 2,
+            bytes_accessed=r2 * 128,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(meta, alph2, rows2, km, thr, owner64)
+
+    r_real = rows.shape[0] if rows.shape[1] != 128 else rows.shape[0] // l128
+    rowpat = jnp.sum(
+        per_rho[: r_real * l128].reshape(r_real, l128, p_pat), axis=1
+    )
+    fcnt = jnp.sum(rowpat, axis=0).astype(jnp.int32)
+    return fcnt, (rowpat > 0).astype(jnp.int32)

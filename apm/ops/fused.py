@@ -263,6 +263,68 @@ def filter_verify_chunk_conv(
     )
 
 
+@_dp_mode_shim
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "m_max", "wf", "halo", "plens", "l128", "n_rows", "g",
+        "n_slots", "p_pat", "c_alpha", "b_planes", "max_hot", "dp_dtype",
+        "alphabet", "dp_impl", "interpret",
+    ),
+)
+def filter_verify_chunk_fused(
+    corpus_rows: jax.Array,  # (R, wf + halo) uint8 — folded corpus rows
+    pkm: jax.Array,  # (B*128, 64*Np) bf16 — fused piece kernel
+    pthr: jax.Array,  # (1, 64*Np) f32 — piece thresholds
+    powner: jax.Array,  # (64*Np, P) f32 — phase-folded piece -> pattern
+    alph: jax.Array,  # (C,) uint8 — pattern alphabet
+    pat: jax.Array,  # (P, m_max + 2k) uint8 — k-padded pattern table
+    bound: jax.Array,  # () int32 — global window bound (exclusive)
+    start: jax.Array,  # () int32 — global window index of row 0
+    *,
+    k: int,
+    m_max: int,
+    wf: int,
+    halo: int,
+    plens: tuple,
+    l128: int,
+    n_rows: int,
+    g: int,
+    n_slots: int,
+    p_pat: int,
+    c_alpha: int,
+    b_planes: int,
+    max_hot: int = MAX_HOT,
+    dp_dtype: str = "int32",
+    alphabet: tuple = (),  # static distinct pattern bytes (Myers DP key)
+    dp_impl: str = "auto",
+    interpret: bool = False,
+):
+    """:func:`filter_verify_chunk` with the FUSED Pallas phase 1
+    (``apm.ops.corr_fused.scan_pieces_fused`` — the phase-split-im2col
+    piece scan, DESIGN §8). Same ``(packed, rowmap)`` contract; row maps
+    are a conservative superset (row-any candidacy over a sound position
+    superset) and phase 2 is shared, so counts are identical. Selected
+    when ``ScanPlan.fp1_conv`` holds AND the fused layout is eligible
+    (``Scanner._use_fused_corr``: m_max <= 65, 128-aligned staging)."""
+    from .corr_fused import scan_pieces_fused
+
+    assert k >= 1
+    assert max_hot % FOLD == 0 and max_hot > 0
+    fcnt, rowmap = scan_pieces_fused(
+        corpus_rows, pkm, pthr, powner, alph, bound, start,
+        wf=wf, l128=l128, n_rows=n_rows, g=g, n_slots=n_slots,
+        p_pat=p_pat, c_alpha=c_alpha, b_planes=b_planes,
+        interpret=interpret,
+    )
+    return _verify_phase2(
+        corpus_rows, fcnt, rowmap, pat, bound, start,
+        k=k, m_max=m_max, wf=wf, halo=halo, plens=plens, max_hot=max_hot,
+        dp_dtype=dp_dtype, alphabet=alphabet, dp_impl=dp_impl,
+        interpret=interpret,
+    )
+
+
 # Overflow batch geometry for count_hot_batch: rows re-verified per
 # dispatch, and the compaction ceiling (hot counts beyond OVERFLOW_CAP
 # fall back to the orchestrator's host/rescan recovery; the density check

@@ -227,7 +227,7 @@ def _myers_phases(
             return text, tuple(out)
 
         text, carry = jax.lax.fori_loop(
-            lo, seg_end + 1, body, (text, carry), unroll=False
+            lo, seg_end + 1, body, (text, carry), unroll=DP_UNROLL
         )
         for j, pi in enumerate(live):
             state[pi] = carry[j]
@@ -319,7 +319,7 @@ def _scan_kernel(
             return step(x, text, band, res, static_x=False)
 
         text, band, res = jax.lax.fori_loop(
-            k + 1, m_max + 1, body, (text, band, res), unroll=False
+            k + 1, m_max + 1, body, (text, band, res), unroll=DP_UNROLL
         )
 
     hits = jnp.logical_and(res <= k, valid)
@@ -446,7 +446,7 @@ def _band_phases(
             return text, new_cb
 
         text, carry_bands = jax.lax.fori_loop(
-            lo, seg_end + 1, body, (text, carry_bands), unroll=False
+            lo, seg_end + 1, body, (text, carry_bands), unroll=DP_UNROLL
         )
         for j, pi in enumerate(live):
             bands[pi] = list(carry_bands[j])
@@ -538,6 +538,16 @@ def _scan_kernel_unrolled(
         if mask_ref is not None:
             mask_ref[pl.ds(pi * fold, fold), :] = hits.astype(jnp.int32)
 
+
+# DP step-loop partial unroll (fori_loop unroll factor). The
+# instruction-mix accounting (DESIGN §1c) shows the banded/Myers kernels
+# are floored by PER-STEP fixed cost (text rotate + loop/SMEM
+# bookkeeping) at small band widths, not by ops/cell — partial unroll
+# amortizes exactly that term. Overridable for probes via APM_DP_UNROLL;
+# full unrolling stays rejected (compile time explodes past 9 min).
+import os as _os
+
+DP_UNROLL = max(1, int(_os.environ.get("APM_DP_UNROLL", "1")))
 
 _DTYPE_FOLD = {"int32": 8, "int16": 16, "int8": 32}
 

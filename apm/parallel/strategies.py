@@ -260,6 +260,45 @@ def _filter_verify_conv_sharded(
     )(shards, starts, pkern, pthr, owner, alph, pat, bound)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "k", "m_max", "w", "halo", "plens", "l128", "n_rows", "g",
+        "n_slots", "p_pat", "c_alpha", "b_planes", "dp_dtype", "alphabet",
+        "dp_impl", "interpret",
+    ),
+)
+def _filter_verify_fused_sharded(
+    shards, starts, pkm, pthr, powner, alph, pat, bound, *, mesh, k, m_max,
+    w, halo, plens, l128, n_rows, g, n_slots, p_pat, c_alpha, b_planes,
+    dp_dtype="int32", alphabet=(), dp_impl="auto", interpret=False,
+):
+    """:func:`_filter_verify_conv_sharded` with the fused Pallas phase 1
+    (``apm.ops.fused.filter_verify_chunk_fused``) — same packed layout."""
+    from ..ops.fused import filter_verify_chunk_fused
+
+    def body(shard, start, pkm, pthr, powner, alph, pat, bound):
+        packed, rowmap = filter_verify_chunk_fused(
+            shard[0], pkm, pthr, powner, alph, pat, bound, start[0],
+            k=k, m_max=m_max, wf=w, halo=halo, plens=plens,
+            l128=l128, n_rows=n_rows, g=g, n_slots=n_slots, p_pat=p_pat,
+            c_alpha=c_alpha, b_planes=b_planes, dp_dtype=dp_dtype,
+            alphabet=alphabet, dp_impl=dp_impl, interpret=interpret,
+        )
+        return _collective_pack(packed, pat.shape[0]), rowmap[None]
+
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            P("data", None, None), P("data"), P(None, None), P(None, None),
+            P(None, None), P(None), P(None, None), P(),
+        ),
+        out_specs=(P(None), P("data", None, None)),
+        check_vma=False,
+    )(shards, starts, pkm, pthr, powner, alph, pat, bound)
+
+
 def _collective_pack(packed, p: int):
     """Shared sharded packing of a fused chunk's ``packed`` vector: psum
     the per-pattern candidate/verified totals, all_gather the per-shard
@@ -311,7 +350,37 @@ def sharded_filter_chunks(
     from ..models.pipeline import FilterChunk
 
     k, m_max = scanner.k, scanner.m_max
-    if plan.fp1_conv:
+    if plan.fp1_conv and scanner._use_fused_corr(wf, halo):
+        from ..ops.corr_engine import n_bitplanes
+        from ..ops.corr_fused import S_FUSED, pick_g
+
+        km_np, thr_np, ow64_np = scanner._fp1_fused_tables(
+            plan.plens_filter
+        )
+        l128 = (wf + halo) // 128
+        n_slots = km_np.shape[1] // S_FUSED
+        packed, rowmaps = _filter_verify_fused_sharded(
+            shards, starts,
+            jax.device_put(km_np, NamedSharding(mesh, P(None, None))),
+            jax.device_put(thr_np, NamedSharding(mesh, P(None, None))),
+            jax.device_put(ow64_np, NamedSharding(mesh, P(None, None))),
+            jax.device_put(
+                scanner._corr_alphabet(), NamedSharding(mesh, P(None))
+            ),
+            dpat, dbound,
+            mesh=mesh, k=k, m_max=m_max, w=wf, halo=halo,
+            plens=plan.plens_filter,
+            l128=l128, n_rows=rows_per,
+            g=pick_g(rows_per, l128, n_slots), n_slots=n_slots,
+            p_pat=ow64_np.shape[1],
+            c_alpha=len(scanner._corr_alphabet()),
+            b_planes=n_bitplanes(len(scanner._corr_alphabet())),
+            dp_dtype=scanner.config.dp_dtype,
+            alphabet=scanner._dp_alphabet(),
+            dp_impl=scanner.config.dp_impl,
+            interpret=scanner.config.interpret,
+        )
+    elif plan.fp1_conv:
         from ..ops.corr_engine import _group_rows
 
         pk_np, pt_np, ow_np, fp1_stride = scanner._fp1_kernel(

@@ -193,8 +193,14 @@ def model_for_scanner(scanner, n: int) -> Optional[OpsModel]:
         hbm = max(hbm, m.hbm_bytes)
     if plan.any_filter:
         if plan.fp1_conv:
-            pk, pt, ow, s = scanner._fp1_kernel(plan.plens_filter)
-            m = corr_model(ow.shape[0], pk.shape[0], c)
+            if scanner._use_fused_corr(plan.wf, plan.halo):
+                from ..ops.corr_fused import S_FUSED
+
+                km, _t, _o = scanner._fp1_fused_tables(plan.plens_filter)
+                m = fused_corr_model(km.shape[1] // S_FUSED, c)
+            else:
+                pk, pt, ow, s = scanner._fp1_kernel(plan.plens_filter)
+                m = corr_model(ow.shape[0], pk.shape[0], c)
             vpu += m.vpu_ops
             mxu += m.mxu_flops
             hbm = max(hbm, m.hbm_bytes)

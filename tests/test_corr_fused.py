@@ -169,3 +169,80 @@ def test_corr_impl_fused_raises_when_ineligible():
                   engine="corr"),
     )
     assert sc_auto.count(corpus).tolist() == expected
+
+
+def test_fused_phase1_e2e_k1_k2():
+    """k >= 1 e2e counts through the fused piece scan must equal the
+    conv-phase-1 counts and the oracle, incl. boundary-straddling
+    plants."""
+    from apm.utils.corpus import plant
+    from apm.utils.oracle import count_matches
+
+    corpus = _corpus(300_000, 11)
+    pats = [bytes(corpus[900:950]), bytes(corpus[123_456:123_506])]
+    for kk in (1, 2):
+        c = corpus.copy()
+        plant(c, np.frombuffer(pats[0], np.uint8),
+              [5000, 65_536 * 2 - 25, 150_000, 299_000], k=kk, seed=3)
+        expected = count_matches(c, pats, kk)
+        outs = {}
+        for impl in ("conv", "fused"):
+            sc = apm.Scanner(
+                pats, kk,
+                ApmConfig(backend="pallas", interpret=True,
+                          corr_impl=impl),
+            )
+            outs[impl] = sc.count(c).tolist()
+        assert outs["conv"] == expected, kk
+        assert outs["fused"] == expected, kk
+
+
+def test_fused_phase1_rowmap_superset():
+    """scan_pieces_fused's rowmap must cover every row scan_pieces_conv
+    flags for OWNED windows (candidacy soundness; the fused map may be
+    a superset on halo-tail positions)."""
+    import jax.numpy as jnp
+
+    from apm.ops.corr_engine import (
+        build_alphabet, build_piece_kernel, n_bitplanes, scan_pieces_conv,
+    )
+    from apm.ops.corr_fused import (
+        S_FUSED, build_fused_piece_tables, scan_pieces_fused,
+    )
+
+    k = 1
+    wf, halo, n_rows = 512, 128, 11
+    corpus = _corpus(n_rows * wf + 90, 12)
+    pats = [bytes(corpus[5000:5040]), bytes(corpus[3000:3050])]
+    plens = tuple(len(p) for p in pats)
+    m_max = max(plens)
+    bound = len(corpus) - m_max + 1
+    rows = _rows_of(corpus, wf, halo, n_rows)
+    pat_raw = np.zeros((len(pats), m_max), np.uint8)
+    for i, p in enumerate(pats):
+        pat_raw[i, : len(p)] = np.frombuffer(p, np.uint8)
+    alph = build_alphabet(pats)
+
+    ck, ct, co = build_piece_kernel(pat_raw, plens, k, alph)
+    fc_c, rm_c = scan_pieces_conv(
+        jnp.asarray(rows), jnp.asarray(ck), jnp.asarray(ct),
+        jnp.asarray(co), jnp.asarray(alph),
+        jnp.asarray(bound, jnp.int32), jnp.asarray(0, jnp.int32),
+        wf=wf, w_kern=ck.shape[0], n_rows=n_rows, g_rows=5,
+    )
+    km, thr, ow64 = build_fused_piece_tables(pat_raw, plens, k, alph)
+    fc_f, rm_f = scan_pieces_fused(
+        jnp.asarray(rows), jnp.asarray(km), jnp.asarray(thr),
+        jnp.asarray(ow64), jnp.asarray(alph),
+        jnp.asarray(bound, jnp.int32), jnp.asarray(0, jnp.int32),
+        wf=wf, l128=(wf + halo) // 128, n_rows=n_rows, g=8,
+        n_slots=km.shape[1] // S_FUSED, p_pat=ow64.shape[1],
+        c_alpha=len(alph), b_planes=n_bitplanes(len(alph)),
+        interpret=True,
+    )
+    rm_c, rm_f = np.asarray(rm_c), np.asarray(rm_f)
+    fc_c, fc_f = np.asarray(fc_c), np.asarray(fc_f)
+    assert fc_c.sum() > 0 and fc_f.sum() > 0
+    # zero-iff-zero per pattern, and fused rows cover conv rows
+    assert ((fc_c > 0) == (fc_f > 0)).all()
+    assert np.all(rm_f[rm_c > 0] > 0)
