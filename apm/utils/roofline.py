@@ -138,17 +138,28 @@ def corr_model(
     return OpsModel(vpu, mxu, hbm, _pick_binding(vpu, mxu, hbm))
 
 
+# Calibrated VPU-side cost of the fused Pallas correlation, in effective
+# lane-ops per corpus byte at small P. The written op count (~30/byte:
+# widen, two rolls, 2 encodes, epilogue) predicts a >100 GB/s VPU side;
+# the measured small-P kernel floor is ~8.5 GB/s (g-tune probe, 256 MB,
+# P = 6, session 2026-08-20) — i.e. ~400 effective ops/byte once
+# Mosaic's relayouts, iota/mask arithmetic and per-step scheduling are
+# counted. Calibrating keeps the roofline honest: below ~P = 20 the
+# fused kernel is bound by this in-kernel overhead, above it by the MXU
+# contraction (P = 64 measured at 59% of its 6.0 GB/s MXU roof).
+FUSED_OPS_PER_BYTE = 400.0
+
+
 def fused_corr_model(p_slots: int, alphabet_size: int) -> OpsModel:
     """Fused Pallas correlation (apm.ops.corr_fused): per-byte MACs are
     ``128 * B * P`` (one K-tile per phase, 64 window phases folded into
-    columns), and the VPU side is the in-kernel encode + epilogue
-    (~30 + 4*P ops/byte — two orders below the XLA encode's calibrated
-    cost, which is the point of the kernel)."""
+    columns); the VPU side is the calibrated in-kernel overhead
+    (FUSED_OPS_PER_BYTE) plus the per-pattern epilogue compare/mask."""
     from ..ops.corr_engine import n_bitplanes
 
     b = n_bitplanes(alphabet_size)
     mxu = 2.0 * 128 * b * p_slots
-    vpu = 30.0 + 4.0 * p_slots
+    vpu = FUSED_OPS_PER_BYTE + 4.0 * p_slots
     hbm = 1.0  # uint8 text read; everything else lives in VMEM
     return OpsModel(vpu, mxu, hbm, _pick_binding(vpu, mxu, hbm))
 
