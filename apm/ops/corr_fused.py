@@ -104,7 +104,10 @@ def build_fused_tables(pat_raw: np.ndarray, plens, alphabet: np.ndarray):
                 for b in range(B):
                     km[b, s + i, col] = 1.0 if (ci >> b) & 1 else -1.0
     # 2D kernel value (Mosaic keeps values 2D): planes stacked on rows.
-    return km.reshape(B * 128, S_FUSED * p_pad).astype(jnp.bfloat16), thr
+    km2 = km.reshape(B * 128, S_FUSED * p_pad)
+    if p_pad >= _INT8_MIN_SLOTS:  # MXU-bound regime: int8 operands
+        return km2.astype(jnp.int8), thr.astype(np.int32)
+    return km2.astype(jnp.bfloat16), thr
 
 
 def pick_g(n_rows: int, l128: int, P: int) -> int:
@@ -127,6 +130,15 @@ def pick_g(n_rows: int, l128: int, P: int) -> int:
 # build_fused_tables pads P to even whenever 64P > _SINGLE_MAX.
 _N_CHUNK = 1024
 _SINGLE_MAX = 1536
+
+# int8 MXU operands once the contraction binds (v5e int8 is 2x bf16
+# peak; the ±1/0 planes are exact in int8 and the i32-select -> i8
+# convert costs less than the MACs it halves). Measured on chip
+# (bench/int8_fused_probe.py, 256 MB, same session, counts
+# bit-identical): P=32 2.95 -> 5.19 GB/s (x1.76), P=64 1.80 -> 3.93
+# (x2.19). Below ~32 slots the kernel is overhead-bound (DESIGN §9)
+# and int8 buys nothing, so bf16 keeps the small-P path.
+_INT8_MIN_SLOTS = 32
 
 
 def _fused_kernel(
@@ -166,16 +178,26 @@ def _fused_kernel(
     lane = jax.lax.broadcasted_iota(jnp.int32, (m_rows, 128), 1)
     txs = jnp.where(lane < 64, r1, r2)
 
+    i8 = km_ref.dtype == jnp.int8
+    acc_t = jnp.int32 if i8 else jnp.float32
+
     def planes_of(t32):
-        # Selects stay in the f32 domain: the i1 masks from int32
+        # Selects stay in the i32/f32 domain: the i1 masks from int32
         # compares carry (8, 128) tiling, and mixing them into
-        # (16, 128)-tiled bf16 selects is an invalid Mosaic relayout —
-        # the f32 select + one convert is the supported path.
+        # (16, 128)/(32, 128)-tiled narrow selects is an invalid Mosaic
+        # relayout — the wide select + one convert is the supported
+        # path. int8 operands feed the 2x-peak MXU mode at wide P
+        # (_INT8_MIN_SLOTS).
         eqs = [t32 == alph_ref[0, c] for c in range(c_alpha)]
         valid = eqs[0]
         for e in eqs[1:]:
             valid = jnp.logical_or(valid, e)
-        neg = jnp.where(valid, jnp.float32(-1.0), jnp.float32(0.0))
+        if i8:
+            neg = jnp.where(valid, jnp.int32(-1), jnp.int32(0))
+            one, dt = jnp.int32(1), jnp.int8
+        else:
+            neg = jnp.where(valid, jnp.float32(-1.0), jnp.float32(0.0))
+            one, dt = jnp.float32(1.0), jnp.bfloat16
         out = []
         for b in range(b_planes):
             sel = [c for c in range(c_alpha) if (c >> b) & 1]
@@ -185,9 +207,7 @@ def _fused_kernel(
                     pos = jnp.logical_or(pos, eqs[c])
             else:  # every code has bit b clear (only if c_alpha == 1)
                 pos = jnp.zeros_like(valid)
-            out.append(
-                jnp.where(pos, jnp.float32(1.0), neg).astype(jnp.bfloat16)
-            )
+            out.append(jnp.where(pos, one, neg).astype(dt))
         return out
 
     bound = meta_ref[0, 0]
@@ -217,13 +237,13 @@ def _fused_kernel(
             acc = jnp.dot(
                 pls[0],
                 km_ref[0:128, c0 : c0 + nc],
-                preferred_element_type=jnp.float32,
+                preferred_element_type=acc_t,
             )
             for b in range(1, b_planes):
                 acc = acc + jnp.dot(
                     pls[b],
                     km_ref[b * 128 : (b + 1) * 128, c0 : c0 + nc],
-                    preferred_element_type=jnp.float32,
+                    preferred_element_type=acc_t,
                 )
             j = base1 + s_col + phase * 64
             match = jnp.logical_and(acc >= thrc, j < limit1)
@@ -378,11 +398,10 @@ def build_fused_piece_tables(
                 ci = int(np.searchsorted(alphabet, pat_raw[pi, off + i]))
                 for b in range(B):
                     km[b, s + i, col] = 1.0 if (ci >> b) & 1 else -1.0
-    return (
-        km.reshape(B * 128, S_FUSED * n_pad).astype(jnp.bfloat16),
-        thr,
-        owner64,
-    )
+    km2 = km.reshape(B * 128, S_FUSED * n_pad)
+    if n_pad >= _INT8_MIN_SLOTS:  # MXU-bound regime: int8 operands
+        return km2.astype(jnp.int8), thr.astype(np.int32), owner64
+    return km2.astype(jnp.bfloat16), thr, owner64
 
 
 def _fused_pieces_kernel(
@@ -413,12 +432,20 @@ def _fused_pieces_kernel(
     lane = jax.lax.broadcasted_iota(jnp.int32, (m_rows, 128), 1)
     txs = jnp.where(lane < 64, r1, r2)
 
+    i8 = km_ref.dtype == jnp.int8  # wide piece sets: 2x-peak MXU mode
+    acc_t = jnp.int32 if i8 else jnp.float32
+
     def planes_of(t32):
         eqs = [t32 == alph_ref[0, c] for c in range(c_alpha)]
         valid = eqs[0]
         for e in eqs[1:]:
             valid = jnp.logical_or(valid, e)
-        neg = jnp.where(valid, jnp.float32(-1.0), jnp.float32(0.0))
+        if i8:
+            neg = jnp.where(valid, jnp.int32(-1), jnp.int32(0))
+            one, dt = jnp.int32(1), jnp.int8
+        else:
+            neg = jnp.where(valid, jnp.float32(-1.0), jnp.float32(0.0))
+            one, dt = jnp.float32(1.0), jnp.bfloat16
         out = []
         for b in range(b_planes):
             sel = [c for c in range(c_alpha) if (c >> b) & 1]
@@ -428,9 +455,7 @@ def _fused_pieces_kernel(
                     pos = jnp.logical_or(pos, eqs[c])
             else:
                 pos = jnp.zeros_like(valid)
-            out.append(
-                jnp.where(pos, jnp.float32(1.0), neg).astype(jnp.bfloat16)
-            )
+            out.append(jnp.where(pos, one, neg).astype(dt))
         return out
 
     bound = meta_ref[0, 0]
@@ -454,13 +479,13 @@ def _fused_pieces_kernel(
             acc = jnp.dot(
                 pls[0],
                 km_ref[0:128, c0 : c0 + nc],
-                preferred_element_type=jnp.float32,
+                preferred_element_type=acc_t,
             )
             for b in range(1, b_planes):
                 acc = acc + jnp.dot(
                     pls[b],
                     km_ref[b * 128 : (b + 1) * 128, c0 : c0 + nc],
-                    preferred_element_type=jnp.float32,
+                    preferred_element_type=acc_t,
                 )
             s_col = (
                 c0

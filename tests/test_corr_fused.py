@@ -246,3 +246,30 @@ def test_fused_phase1_rowmap_superset():
     # zero-iff-zero per pattern, and fused rows cover conv rows
     assert ((fc_c > 0) == (fc_f > 0)).all()
     assert np.all(rm_f[rm_c > 0] > 0)
+
+
+def test_fused_int8_wide_p():
+    # P >= _INT8_MIN_SLOTS: int8 MXU operands (2x-peak mode) — counts
+    # must stay bit-identical to the conv engine.
+    from apm.ops.corr_fused import _INT8_MIN_SLOTS, build_fused_tables
+
+    wf, halo, n_rows = 512, 128, 9
+    corpus = _corpus(n_rows * wf + 100, 15)
+    P = _INT8_MIN_SLOTS + 1
+    pats = [bytes(_corpus(20, 300 + i)) for i in range(P)]
+    for i, p in enumerate(pats):
+        pos = 50 + i * 131
+        corpus[pos : pos + 20] = np.frombuffer(p, np.uint8)
+    plens = [20] * P
+    bound = len(corpus) - 20 + 1
+    rows = _rows_of(corpus, wf, halo, n_rows)
+    pat_raw = np.stack([np.frombuffer(p, np.uint8) for p in pats])
+    from apm.ops.corr_engine import build_alphabet
+
+    km, thr = build_fused_tables(
+        pat_raw, plens, build_alphabet(pats)
+    )
+    assert km.dtype == np.int8 and thr.dtype == np.int32
+    ref, got = _both(rows, pats, plens, bound, 0, wf, halo, n_rows)
+    assert ref.sum() >= P
+    assert got.tolist() == ref.tolist()
