@@ -219,15 +219,26 @@ class Scanner:
 
             km, thr = self._corr_fused_tables()
             l128 = (wf + halo) // 128
-            return scan_corr_fused(
-                drows, jax.numpy.asarray(km), jax.numpy.asarray(thr),
-                jax.numpy.asarray(alph), dbound, dstart,
-                wf=wf, l128=l128, n_rows=n_rows,
-                g=pick_g(n_rows, l128, km.shape[1] // S_FUSED),
-                p=km.shape[1] // S_FUSED, c_alpha=len(alph),
-                b_planes=n_bitplanes(len(alph)),
-                interpret=self.config.interpret, p_out=p_out,
-            )
+            try:
+                return scan_corr_fused(
+                    drows, jax.numpy.asarray(km), jax.numpy.asarray(thr),
+                    jax.numpy.asarray(alph), dbound, dstart,
+                    wf=wf, l128=l128, n_rows=n_rows,
+                    g=pick_g(n_rows, l128, km.shape[1] // S_FUSED),
+                    p=km.shape[1] // S_FUSED, c_alpha=len(alph),
+                    b_planes=n_bitplanes(len(alph)),
+                    interpret=self.config.interpret, p_out=p_out,
+                )
+            except Exception:
+                # Compile failures surface at dispatch (only execution is
+                # async). This testbed's remote-compile helper throws
+                # transient HTTP 500s; under corr_impl="auto" a scan must
+                # degrade to the XLA conv (identical counts), not die.
+                if self.config.corr_impl == "fused":
+                    raise
+                from ..utils.profiling import info
+
+                info("fused corr compile failed; falling back to conv")
         from ..ops.corr_engine import _group_rows, scan_corr_mxu
 
         kern_np, thr_np, corr_stride = self._corr_kernel()
@@ -299,15 +310,24 @@ class Scanner:
             km, thr, owner64 = self._fp1_fused_tables(plan.plens_filter)
             l128 = (wf + halo) // 128
             n_slots = km.shape[1] // S_FUSED
-            return filter_verify_chunk_fused(
-                drows, jax.numpy.asarray(km), jax.numpy.asarray(thr),
-                jax.numpy.asarray(owner64), jax.numpy.asarray(alph),
-                dpat, dbound, dstart,
-                l128=l128, n_rows=n_rows,
-                g=pick_g(n_rows, l128, n_slots), n_slots=n_slots,
-                p_pat=owner64.shape[1], c_alpha=len(alph),
-                b_planes=n_bitplanes(len(alph)), **common,
-            )
+            try:
+                return filter_verify_chunk_fused(
+                    drows, jax.numpy.asarray(km), jax.numpy.asarray(thr),
+                    jax.numpy.asarray(owner64), jax.numpy.asarray(alph),
+                    dpat, dbound, dstart,
+                    l128=l128, n_rows=n_rows,
+                    g=pick_g(n_rows, l128, n_slots), n_slots=n_slots,
+                    p_pat=owner64.shape[1], c_alpha=len(alph),
+                    b_planes=n_bitplanes(len(alph)), **common,
+                )
+            except Exception:
+                # Same transient-compile degradation contract as
+                # _corr_call: "auto" falls back to the conv phase 1.
+                if self.config.corr_impl == "fused":
+                    raise
+                from ..utils.profiling import info
+
+                info("fused phase 1 compile failed; falling back to conv")
         from ..ops.corr_engine import _group_rows
         from ..ops.fused import filter_verify_chunk_conv
 

@@ -36,10 +36,14 @@ Layout ("phase-split im2col", the whole trick):
   ``(1, 64P)`` int32 partial counts across the grid.
 
 MAC cost: ``128 * B * P`` per corpus byte (K-tile padding 128/(m+63)),
-i.e. a ~63 GB/s MXU roof at P = 6/B = 2 and ~6 GB/s at P = 64 — vs the
+i.e. a ~63 GB/s bf16 MXU roof at P = 6/B = 2 and ~6 GB/s at P = 64 —
+doubled again at wide P by int8 operands (``_INT8_MIN_SLOTS``; the
+±1/0 planes are exact in int8, measured 2.2x at P = 64) — vs the
 ~9 GB/s encode-bound and 27-37%-of-MXU conv ceilings it replaces
-(VERDICT r4 asks #1 and #2). The VPU side is ~30 ops/byte (2 encodes +
-epilogue) — two orders below XLA's calibrated encode cost.
+(VERDICT r4 asks #1 and #2). The VPU side is ~30 written ops/byte
+(2 encodes + epilogue; ~400 effective after Mosaic overheads — the
+calibrated ``FUSED_OPS_PER_BYTE`` roofline term) — far below XLA's
+calibrated encode cost either way.
 
 Eligibility: ``m_max <= M_MAX_FUSED = 65`` (one K-tile per phase);
 longer patterns keep the XLA conv path. The reference has no analog —
