@@ -190,19 +190,24 @@ class Scanner:
             )
         return kk
 
-    def _use_fused_corr(self, wf: int, halo: int) -> bool:
-        """Route an eligible k = 0 correlation scan to the fused Pallas
-        kernel (``config.corr_impl``; DESIGN §8: 1.5-1.8x the XLA conv
-        at P <= 16, a wash at P = 64, bit-exact)."""
-        from ..ops.corr_fused import fused_eligible
+    def _use_fused_corr(
+        self, wf: int, halo: int, pieces: bool = False
+    ) -> bool:
+        """Route an eligible correlation scan to the fused Pallas kernel
+        (``config.corr_impl``; DESIGN §8: 1.5-1.8x the XLA conv at
+        P <= 16, 2.2x int8 at P = 64, bit-exact). The PIECE kernel's
+        coverage proof needs m <= 65 (``fused_pieces_ok``); the count
+        kernel takes m <= 97 (S = 32 phases)."""
+        from ..ops.corr_fused import fused_eligible, fused_pieces_ok
 
         impl = self.config.corr_impl
         if impl == "conv":
             return False
-        ok = fused_eligible(self.m_max, wf, halo)
-        if impl == "fused" and not ok:
+        gate = fused_pieces_ok if pieces else fused_eligible
+        ok = gate(self.m_max, wf, halo)
+        if impl == "fused" and not ok and not pieces:
             raise ValueError(
-                "corr_impl='fused' requires m_max <= 65 and 128-aligned "
+                "corr_impl='fused' requires m_max <= 97 and 128-aligned "
                 "staging (apm.ops.corr_fused.fused_eligible)"
             )
         return ok
@@ -215,18 +220,19 @@ class Scanner:
         alph = self._corr_alphabet()
         if self._use_fused_corr(wf, halo):
             from ..ops.corr_engine import n_bitplanes
-            from ..ops.corr_fused import S_FUSED, pick_g, scan_corr_fused
+            from ..ops.corr_fused import pick_g, pick_s, scan_corr_fused
 
             km, thr = self._corr_fused_tables()
             l128 = (wf + halo) // 128
+            s_ph = pick_s(self.m_max)
             try:
                 return scan_corr_fused(
                     drows, jax.numpy.asarray(km), jax.numpy.asarray(thr),
                     jax.numpy.asarray(alph), dbound, dstart,
                     wf=wf, l128=l128, n_rows=n_rows,
-                    g=pick_g(n_rows, l128, km.shape[1] // S_FUSED),
-                    p=km.shape[1] // S_FUSED, c_alpha=len(alph),
-                    b_planes=n_bitplanes(len(alph)),
+                    g=pick_g(n_rows, l128, km.shape[1] // s_ph),
+                    p=km.shape[1] // s_ph, c_alpha=len(alph),
+                    b_planes=n_bitplanes(len(alph)), s_ph=s_ph,
                     interpret=self.config.interpret, p_out=p_out,
                 )
             except Exception:
@@ -303,7 +309,7 @@ class Scanner:
             dp_impl=self.config.dp_impl,
             interpret=self.config.interpret,
         )
-        if self._use_fused_corr(wf, halo):
+        if self._use_fused_corr(wf, halo, pieces=True):
             from ..ops.corr_engine import n_bitplanes
             from ..ops.fused import filter_verify_chunk_fused
 

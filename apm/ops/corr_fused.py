@@ -63,24 +63,43 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .corr_engine import n_bitplanes
 
-# Phase-split im2col constants: stride 64, two phases per 128-lane chunk.
+# Phase-split im2col constants. The COUNT kernel picks its phase stride
+# from the pattern length: S = 64 (two phases per 128-lane chunk) for
+# m <= 65, S = 32 (four phases) for m in (66, 97] — the requirement is
+# m + S - 1 <= 128 so every tap of a phase block stays in one aligned
+# K-tile. The PIECE kernel stays at S = 64 (its position-coverage proof
+# needs drift < S, which only holds for m <= 65 — see below).
 S_FUSED = 64
-M_MAX_FUSED = 65  # m + S - 1 <= 128: every tap in one aligned K-tile
+M_MAX_FUSED = 97  # count kernel: m + 32 - 1 <= 128
+M_MAX_PIECES = 65  # piece kernel: drift bound < 64 (coverage proof)
+
+
+def pick_s(m_max: int) -> int:
+    """Phase stride for the count kernel: the widest S with
+    m + S - 1 <= 128 among {64, 32}."""
+    return 64 if m_max <= 65 else 32
 
 # VMEM budget for the f32 corr tile (G*L128, 64P); G shrinks as P grows.
 _ACC_BYTES = 3 << 20
 
 
 def fused_eligible(m_max: int, wf: int, halo: int) -> bool:
-    """Gate: one-K-tile layout needs m <= 65, lane-tiled staging rows,
-    and >= 64 halo bytes (phase 1 of the last block reads to
-    ``wf + 63``)."""
+    """COUNT-kernel gate: one-K-tile layout needs m <= 97 (S = 32
+    phases), lane-tiled staging rows, and a >= 128-byte halo (the last
+    window block's later phases read past ``wf``)."""
     return (
         0 < m_max <= M_MAX_FUSED
         and wf % 128 == 0
         and halo % 128 == 0
         and halo >= 128
     )
+
+
+def fused_pieces_ok(m_max: int, wf: int, halo: int) -> bool:
+    """PIECE-kernel gate: the row-any coverage proof (module comment at
+    scan_pieces_fused) bounds the drifted piece start by wf + 61 only
+    for m <= 65; longer patterns keep the XLA piece conv."""
+    return fused_eligible(m_max, wf, halo) and m_max <= M_MAX_PIECES
 
 
 def build_fused_tables(pat_raw: np.ndarray, plens, alphabet: np.ndarray):
@@ -90,17 +109,21 @@ def build_fused_tables(pat_raw: np.ndarray, plens, alphabet: np.ndarray):
     pattern ``p``."""
     P, m_max = pat_raw.shape
     assert m_max <= M_MAX_FUSED, m_max
+    s_ph = pick_s(m_max)
     B = n_bitplanes(len(alphabet))
-    # Pad the pattern slot count to even when the column axis will be
-    # chunked (64P > _SINGLE_MAX): keeps every chunk offset/width a
-    # multiple of 128 lanes (Mosaic slice alignment). Padding slots get
-    # the unreachable sentinel threshold, so they count nothing.
-    p_pad = P + (P % 2 if S_FUSED * P > _SINGLE_MAX else 0)
-    km = np.zeros((B, 128, S_FUSED * p_pad), dtype=np.float32)
-    thr = np.full((1, S_FUSED * p_pad), np.float32(2**30), dtype=np.float32)
+    # Pad the pattern slot count so chunk offsets/widths stay multiples
+    # of 128 lanes when the column axis is chunked (s_ph*P >
+    # _SINGLE_MAX): 128/s_ph slots per 128 lanes. Padding slots get the
+    # unreachable sentinel threshold, so they count nothing.
+    align = 128 // s_ph
+    p_pad = P
+    if s_ph * P > _SINGLE_MAX and P % align:
+        p_pad = P + align - P % align
+    km = np.zeros((B, 128, s_ph * p_pad), dtype=np.float32)
+    thr = np.full((1, s_ph * p_pad), np.float32(2**30), dtype=np.float32)
     for pi in range(P):
         m = plens[pi]
-        for s in range(S_FUSED):
+        for s in range(s_ph):
             col = s * p_pad + pi
             thr[0, col] = B * m if m > 0 else np.float32(2**30)
             for i in range(min(m, m_max)):
@@ -108,7 +131,7 @@ def build_fused_tables(pat_raw: np.ndarray, plens, alphabet: np.ndarray):
                 for b in range(B):
                     km[b, s + i, col] = 1.0 if (ci >> b) & 1 else -1.0
     # 2D kernel value (Mosaic keeps values 2D): planes stacked on rows.
-    km2 = km.reshape(B * 128, S_FUSED * p_pad)
+    km2 = km.reshape(B * 128, s_ph * p_pad)
     if p_pad >= _INT8_MIN_SLOTS:  # MXU-bound regime: int8 operands
         return km2.astype(jnp.int8), thr.astype(np.int32)
     return km2.astype(jnp.bfloat16), thr
@@ -161,6 +184,7 @@ def _fused_kernel(
     c_alpha: int,  # alphabet size (static)
     b_planes: int,  # ±1 planes (static)
     p: int,  # pattern columns per phase slot
+    s_ph: int,  # phase stride (64 or 32; 128//s_ph phases)
 ):
     i = pl.program_id(0)
 
@@ -169,18 +193,21 @@ def _fused_kernel(
         out_ref[:] = jnp.zeros_like(out_ref)
 
     m_rows = g * l128
-    sp = S_FUSED * p
+    sp = s_ph * p
     tx = text_ref[:].astype(jnp.int32)  # (M, 128)
-
-    # Phase-1 view: text shifted 64 lanes forward with cross-row carry —
-    # y[r, l] = tx[r, l+64] (l < 64) else tx[r+1, l-64]. Both rolls are
-    # int32 (Mosaic's rotate constraint); the final sublane's wrapped
-    # garbage feeds only the halo chunk's outputs, which the ownership
-    # mask kills (j >= wf >= limit).
-    r1 = pltpu.roll(tx, shift=64, axis=1)
-    r2 = pltpu.roll(r1, shift=m_rows - 1, axis=0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (m_rows, 128), 1)
-    txs = jnp.where(lane < 64, r1, r2)
+
+    def shifted(shift):
+        # Text advanced ``shift`` bytes with cross-row carry: y[r, l] =
+        # tx[r, l+shift] (l < 128-shift) else tx[r+1, l+shift-128].
+        # Both rolls are int32 (Mosaic's rotate constraint); the final
+        # sublane's wrapped garbage feeds only the halo chunk's
+        # outputs, which the ownership mask kills (j >= wf >= limit).
+        if shift == 0:
+            return tx
+        ra = pltpu.roll(tx, shift=128 - shift, axis=1)
+        rb = pltpu.roll(ra, shift=m_rows - 1, axis=0)
+        return jnp.where(lane < 128 - shift, ra, rb)
 
     i8 = km_ref.dtype == jnp.int8
     acc_t = jnp.int32 if i8 else jnp.float32
@@ -227,7 +254,9 @@ def _fused_kernel(
     )
     base1 = u1 * 128  # window base of this text chunk
 
-    phases = ((0, planes_of(tx)), (1, planes_of(txs)))
+    phases = [
+        (ph, planes_of(shifted(ph * s_ph))) for ph in range(128 // s_ph)
+    ]
     nch = sp if sp <= _SINGLE_MAX else _N_CHUNK
     cnts = []
     for c0 in range(0, sp, nch):
@@ -249,7 +278,7 @@ def _fused_kernel(
                     km_ref[b * 128 : (b + 1) * 128, c0 : c0 + nc],
                     preferred_element_type=acc_t,
                 )
-            j = base1 + s_col + phase * 64
+            j = base1 + s_col + phase * s_ph
             match = jnp.logical_and(acc >= thrc, j < limit1)
             c = jnp.sum(match.astype(jnp.int32), axis=0, keepdims=True)
             cnt = c if cnt is None else cnt + c
@@ -262,7 +291,7 @@ def _fused_kernel(
     jax.jit,
     static_argnames=(
         "wf", "l128", "n_rows", "g", "p", "c_alpha", "b_planes",
-        "interpret", "p_out",
+        "s_ph", "interpret", "p_out",
     ),
 )
 def scan_corr_fused(
@@ -280,6 +309,7 @@ def scan_corr_fused(
     p: int,
     c_alpha: int,
     b_planes: int,
+    s_ph: int = S_FUSED,
     interpret: bool = False,
     p_out: int = 0,
 ):
@@ -293,7 +323,7 @@ def scan_corr_fused(
     ``(R*(wf+halo)/128, 128)`` inside the jit — a row-major-compatible
     reshape XLA lowers to a bitcast, so no relayout runs on device.
     """
-    assert km.shape[1] == S_FUSED * p, (km.shape, p)
+    assert km.shape[1] == s_ph * p, (km.shape, p, s_ph)
     rows2 = rows.reshape(-1, 128) if rows.ndim == 2 and rows.shape[1] != 128 else rows
     r2 = rows2.shape[0]
     block = g * l128
@@ -314,34 +344,35 @@ def scan_corr_fused(
             pl.BlockSpec(memory_space=pltpu.SMEM),  # meta
             pl.BlockSpec(memory_space=pltpu.SMEM),  # alphabet
             pl.BlockSpec((block, 128), lambda i: (i, 0)),  # text view
-            pl.BlockSpec((b_planes * 128, S_FUSED * p), lambda i: (0, 0)),
-            pl.BlockSpec((1, S_FUSED * p), lambda i: (0, 0)),
+            pl.BlockSpec((b_planes * 128, s_ph * p), lambda i: (0, 0)),
+            pl.BlockSpec((1, s_ph * p), lambda i: (0, 0)),
         ],
         out_specs=pl.BlockSpec(
-            (1, S_FUSED * p), lambda i: (0, 0), memory_space=pltpu.VMEM
+            (1, s_ph * p), lambda i: (0, 0), memory_space=pltpu.VMEM
         ),
     )
     out = pl.pallas_call(
         functools.partial(
             _fused_kernel,
             wf=wf, l128=l128, g=g, n_rows=n_rows,
-            c_alpha=c_alpha, b_planes=b_planes, p=p,
+            c_alpha=c_alpha, b_planes=b_planes, p=p, s_ph=s_ph,
         ),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((1, S_FUSED * p), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((1, s_ph * p), jnp.int32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         cost_estimate=pl.CostEstimate(
-            # 2 phases x B planes x (block, 128) @ (128, 64P) per step
-            flops=grid * 2 * b_planes * block * 128 * S_FUSED * p * 2,
+            # (128/s_ph) phases x B planes x (block,128)@(128,s_ph*P)/step
+            flops=grid * (128 // s_ph) * b_planes * block * 128
+            * s_ph * p * 2,
             bytes_accessed=r2 * 128,
             transcendentals=0,
         ),
         interpret=interpret,
     )(meta, alph2, rows2, km, thr)
 
-    counts = jnp.sum(out.reshape(S_FUSED, p), axis=0, dtype=jnp.int32)
+    counts = jnp.sum(out.reshape(s_ph, p), axis=0, dtype=jnp.int32)
     if p_out > p:
         counts = jnp.pad(counts, (0, p_out - p))
     return counts

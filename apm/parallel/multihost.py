@@ -143,11 +143,12 @@ def count_multihost(scanner: "Scanner", path: str) -> np.ndarray:
             )
             if scanner._use_fused_corr(wf, halo):
                 from ..ops.corr_engine import n_bitplanes
-                from ..ops.corr_fused import S_FUSED, pick_g
+                from ..ops.corr_fused import pick_g, pick_s
                 from .strategies import _corr_fused_sharded
 
                 km_np, thr_np = scanner._corr_fused_tables()
                 l128 = (wf + halo) // 128
+                s_ph = pick_s(scanner.m_max)
                 dev_counts = _corr_fused_sharded(
                     shards, starts,
                     jax.device_put(
@@ -158,10 +159,11 @@ def count_multihost(scanner: "Scanner", path: str) -> np.ndarray:
                     ),
                     dalph, dbound,
                     mesh=mesh, wf=wf, l128=l128, n_rows=rows_per,
-                    g=pick_g(rows_per, l128, km_np.shape[1] // S_FUSED),
-                    p=km_np.shape[1] // S_FUSED,
+                    g=pick_g(rows_per, l128, km_np.shape[1] // s_ph),
+                    p=km_np.shape[1] // s_ph,
                     c_alpha=len(scanner._corr_alphabet()),
                     b_planes=n_bitplanes(len(scanner._corr_alphabet())),
+                    s_ph=s_ph,
                     interpret=scanner.config.interpret,
                     p_out=scanner._pat.shape[0],
                 )

@@ -118,12 +118,12 @@ def _corr_sharded(
     jax.jit,
     static_argnames=(
         "mesh", "wf", "l128", "n_rows", "g", "p", "c_alpha", "b_planes",
-        "interpret", "p_out",
+        "s_ph", "interpret", "p_out",
     ),
 )
 def _corr_fused_sharded(
     shards, starts, km, thr, alph, bound, *, mesh, wf, l128, n_rows,
-    g, p, c_alpha, b_planes, interpret=False, p_out=0,
+    g, p, c_alpha, b_planes, s_ph=64, interpret=False, p_out=0,
 ):
     """Sharded fused-Pallas k = 0 correlation (apm.ops.corr_fused): each
     device runs the phase-split im2col kernel on its own window shard,
@@ -134,8 +134,8 @@ def _corr_fused_sharded(
         counts = scan_corr_fused(
             shard[0], km, thr, alph, bound, start[0],
             wf=wf, l128=l128, n_rows=n_rows, g=g, p=p,
-            c_alpha=c_alpha, b_planes=b_planes, interpret=interpret,
-            p_out=p_out,
+            c_alpha=c_alpha, b_planes=b_planes, s_ph=s_ph,
+            interpret=interpret, p_out=p_out,
         )
         return jax.lax.psum(counts, "data")
 
@@ -350,7 +350,7 @@ def sharded_filter_chunks(
     from ..models.pipeline import FilterChunk
 
     k, m_max = scanner.k, scanner.m_max
-    if plan.fp1_conv and scanner._use_fused_corr(wf, halo):
+    if plan.fp1_conv and scanner._use_fused_corr(wf, halo, pieces=True):
         from ..ops.corr_engine import n_bitplanes
         from ..ops.corr_fused import S_FUSED, pick_g
 
@@ -534,10 +534,11 @@ def count_database_over_devices(scanner: "Scanner", buf: np.ndarray, n_dev: int)
                 )
                 if scanner._use_fused_corr(wf, halo):
                     from ..ops.corr_engine import n_bitplanes
-                    from ..ops.corr_fused import S_FUSED, pick_g
+                    from ..ops.corr_fused import pick_g, pick_s
 
                     km_np, thr_np = scanner._corr_fused_tables()
                     l128 = (wf + halo) // 128
+                    s_ph = pick_s(scanner.m_max)
                     dev = _corr_fused_sharded(
                         dshards, dstarts,
                         jax.device_put(
@@ -548,10 +549,11 @@ def count_database_over_devices(scanner: "Scanner", buf: np.ndarray, n_dev: int)
                         ),
                         dalph, dbound,
                         mesh=mesh, wf=wf, l128=l128, n_rows=rows_per,
-                        g=pick_g(rows_per, l128, km_np.shape[1] // S_FUSED),
-                        p=km_np.shape[1] // S_FUSED,
+                        g=pick_g(rows_per, l128, km_np.shape[1] // s_ph),
+                        p=km_np.shape[1] // s_ph,
                         c_alpha=len(scanner._corr_alphabet()),
                         b_planes=n_bitplanes(len(scanner._corr_alphabet())),
+                        s_ph=s_ph,
                         interpret=scanner.config.interpret,
                         p_out=p_pad,
                     )

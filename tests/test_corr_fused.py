@@ -149,12 +149,12 @@ def test_scanner_corr_impl_dispatch_and_conformance():
 
 
 def test_corr_impl_fused_raises_when_ineligible():
-    # m_max = 80 > M_MAX_FUSED: 'fused' must refuse, 'auto' must fall
-    # back to the conv engine with identical counts.
+    # m_max = 120 > M_MAX_FUSED (97): 'fused' must refuse, 'auto' must
+    # fall back to the conv engine with identical counts.
     from apm.utils.oracle import count_matches
 
     corpus = _corpus(100_000, 10)
-    pats = [bytes(corpus[1000:1080])]
+    pats = [bytes(corpus[1000:1120])]
     expected = count_matches(corpus, pats, 0)
     sc = apm.Scanner(
         pats, 0,
@@ -273,3 +273,29 @@ def test_fused_int8_wide_p():
     ref, got = _both(rows, pats, plens, bound, 0, wf, halo, n_rows)
     assert ref.sum() >= P
     assert got.tolist() == ref.tolist()
+
+
+def test_fused_s32_midlength_patterns():
+    """m in (66, 97] routes the S = 32 four-phase layout; counts must
+    match the conv engine and the oracle end to end."""
+    from apm.ops.corr_fused import pick_s
+    from apm.utils.oracle import count_matches
+
+    assert pick_s(80) == 32 and pick_s(65) == 64 and pick_s(97) == 32
+    corpus = _corpus(200_000, 16)
+    pats = [bytes(corpus[500:580]), bytes(corpus[70_000:70_097])]
+    for i, p in enumerate(pats):  # extra planted copies
+        for pos in (12_345 + i * 7, 150_001 + i * 13):
+            corpus[pos : pos + len(p)] = np.frombuffer(p, np.uint8)
+    expected = count_matches(corpus, pats, 0)
+    outs = {}
+    for impl in ("conv", "fused"):
+        sc = apm.Scanner(
+            pats, 0,
+            ApmConfig(backend="pallas", interpret=True, corr_impl=impl,
+                      engine="corr"),
+        )
+        outs[impl] = sc.count(corpus).tolist()
+    assert outs["conv"] == expected
+    assert outs["fused"] == expected
+    assert sum(expected) >= 2  # plants overlap; non-trivial is enough
