@@ -1586,13 +1586,26 @@ class Scanner:
             if use_corr:
                 from ..ops.corr_engine import _group_rows, scan_corr_batch
 
-                kern_np, thr_np, corr_stride = self._corr_kernel()
-                dkern = jax.numpy.asarray(kern_np)
-                dthr = jax.numpy.asarray(thr_np)
+                batch_fused = self._use_fused_corr(wf, halo)
+                if batch_fused:
+                    from ..ops.corr_fused import batch_owner, pick_s
+
+                    km_np, fthr_np = self._corr_fused_tables()
+                    s_ph = pick_s(self.m_max)
+                    fp_slots = km_np.shape[1] // s_ph
+                    dkm = jax.numpy.asarray(km_np)
+                    dfthr = jax.numpy.asarray(fthr_np)
+                    downer = jax.numpy.asarray(
+                        batch_owner(fp_slots, s_ph)
+                    )
+                else:
+                    kern_np, thr_np, corr_stride = self._corr_kernel()
+                    dkern = jax.numpy.asarray(kern_np)
+                    dthr = jax.numpy.asarray(thr_np)
+                    corr_g_rows = _group_rows(
+                        wf + halo, len(self._corr_alphabet()), gmax * fold
+                    )
                 dalph = jax.numpy.asarray(self._corr_alphabet())
-                corr_g_rows = _group_rows(
-                    wf + halo, len(self._corr_alphabet()), gmax * fold
-                )
                 row_in_blk = np.arange(fold, dtype=np.int64) * wf
             handles = []  # (group items, device counts handle)
             for g0 in range(0, len(items), gmax):
@@ -1610,7 +1623,23 @@ class Scanner:
                         limits[slot * fold : (slot + 1) * fold] = np.clip(
                             db - blk * w - row_in_blk, 0, wf
                         )
-                if use_corr:
+                if use_corr and batch_fused:
+                    from ..ops.corr_engine import n_bitplanes
+                    from ..ops.corr_fused import pick_g, scan_corr_batch_fused
+
+                    l128 = (wf + halo) // 128
+                    cnts = scan_corr_batch_fused(
+                        jax.numpy.asarray(rows), dkm, dfthr, downer,
+                        dalph, jax.numpy.asarray(limits),
+                        wf=wf, l128=l128, fold=fold,
+                        g=pick_g(rows.shape[0], l128, fp_slots),
+                        p=fp_slots,
+                        c_alpha=len(self._corr_alphabet()),
+                        b_planes=n_bitplanes(len(self._corr_alphabet())),
+                        s_ph=s_ph, interpret=self.config.interpret,
+                        p_out=p_pad,
+                    )
+                elif use_corr:
                     cnts = scan_corr_batch(
                         jax.numpy.asarray(rows), dkern, dthr, dalph,
                         jax.numpy.asarray(limits),

@@ -633,3 +633,205 @@ def scan_pieces_fused(
     )
     fcnt = jnp.sum(rowpat, axis=0).astype(jnp.int32)
     return fcnt, (rowpat > 0).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Fused batch scan (Scanner.count_batch's k = 0 corr path): same
+# phase-split layout, but window ownership arrives PRE-RESOLVED as a
+# per-staging-row limit vector (the caller owns the virtual-window-space
+# bookkeeping — the scan_corr_batch contract), and counts come back per
+# fold-block instead of per chunk.
+
+
+def batch_owner(p_pad: int, s_ph: int) -> np.ndarray:
+    """Column → pattern fold map for the batch kernel:
+    ``owner[s*p_pad + q, q] = 1``. f32 — the in-kernel fold matmul runs
+    f32 regardless of the operand dtype."""
+    owner = np.zeros((s_ph * p_pad, p_pad), dtype=np.float32)
+    for s in range(s_ph):
+        for q in range(p_pad):
+            owner[s * p_pad + q, q] = 1.0
+    return owner
+
+
+def _fused_batch_kernel(
+    alph_ref,  # SMEM (1, C) int32 — sorted pattern alphabet
+    text_ref,  # VMEM (G*L128, 128) uint8 — this block's staged text view
+    km_ref,  # VMEM (B*128, s_ph*P) bf16/int8 — phase-folded ±1 kernel
+    thr_ref,  # VMEM (1, s_ph*P) f32/int32 — per-column thresholds
+    own_ref,  # VMEM (s_ph*P, P) f32 — column -> pattern fold map
+    lim_ref,  # VMEM (G*L128, 1) int32 — per-128-chunk row limits
+    out_ref,  # VMEM (G*L128, P) f32 — per-128-chunk match counts
+    *,
+    l128: int,
+    g: int,
+    c_alpha: int,
+    b_planes: int,
+    p: int,
+    s_ph: int,
+):
+    m_rows = g * l128
+    sp = s_ph * p
+    tx = text_ref[:].astype(jnp.int32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (m_rows, 128), 1)
+
+    def shifted(shift):
+        if shift == 0:
+            return tx
+        ra = pltpu.roll(tx, shift=128 - shift, axis=1)
+        rb = pltpu.roll(ra, shift=m_rows - 1, axis=0)
+        return jnp.where(lane < 128 - shift, ra, rb)
+
+    i8 = km_ref.dtype == jnp.int8
+    acc_t = jnp.int32 if i8 else jnp.float32
+
+    def planes_of(t32):
+        eqs = [t32 == alph_ref[0, c] for c in range(c_alpha)]
+        valid = eqs[0]
+        for e in eqs[1:]:
+            valid = jnp.logical_or(valid, e)
+        if i8:
+            neg = jnp.where(valid, jnp.int32(-1), jnp.int32(0))
+            one, dt = jnp.int32(1), jnp.int8
+        else:
+            neg = jnp.where(valid, jnp.float32(-1.0), jnp.float32(0.0))
+            one, dt = jnp.float32(1.0), jnp.bfloat16
+        out = []
+        for b in range(b_planes):
+            sel = [c for c in range(c_alpha) if (c >> b) & 1]
+            if sel:
+                pos = eqs[sel[0]]
+                for c in sel[1:]:
+                    pos = jnp.logical_or(pos, eqs[c])
+            else:
+                pos = jnp.zeros_like(valid)
+            out.append(jnp.where(pos, one, neg).astype(dt))
+        return out
+
+    rho1 = jax.lax.broadcasted_iota(jnp.int32, (m_rows, 1), 0)
+    base1 = (rho1 % l128) * 128
+    limit1 = lim_ref[:]  # (m_rows, 1) — pre-resolved per staging row
+
+    phases = [
+        (ph, planes_of(shifted(ph * s_ph))) for ph in range(128 // s_ph)
+    ]
+    nch = sp if sp <= _SINGLE_MAX else _N_CHUNK
+    total = jnp.zeros((m_rows, p), jnp.float32)
+    for c0 in range(0, sp, nch):
+        nc = min(nch, sp - c0)
+        thrc = thr_ref[0:1, c0 : c0 + nc]
+        s_col = (
+            c0 + jax.lax.broadcasted_iota(jnp.int32, (m_rows, nc), 1)
+        ) // p
+        for phase, pls in phases:
+            acc = jnp.dot(
+                pls[0],
+                km_ref[0:128, c0 : c0 + nc],
+                preferred_element_type=acc_t,
+            )
+            for b in range(1, b_planes):
+                acc = acc + jnp.dot(
+                    pls[b],
+                    km_ref[b * 128 : (b + 1) * 128, c0 : c0 + nc],
+                    preferred_element_type=acc_t,
+                )
+            j = base1 + s_col + phase * s_ph
+            match = jnp.logical_and(acc >= thrc, j < limit1)
+            hitf = jnp.where(match, jnp.float32(1.0), jnp.float32(0.0))
+            total = total + jnp.dot(
+                hitf,
+                own_ref[c0 : c0 + nc, :],
+                preferred_element_type=jnp.float32,
+            )
+    out_ref[:] = total
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "wf", "l128", "fold", "g", "p", "c_alpha", "b_planes", "s_ph",
+        "interpret", "p_out",
+    ),
+)
+def scan_corr_batch_fused(
+    rows: jax.Array,  # (R, wf + halo) uint8 — folded rows, MANY corpora
+    km: jax.Array,  # (B*128, s_ph*P) — build_fused_tables
+    thr: jax.Array,  # (1, s_ph*P)
+    owner: jax.Array,  # (s_ph*P, P) f32 — batch_owner
+    alph: jax.Array,  # (C,) uint8 — sorted pattern alphabet
+    limits: jax.Array,  # (R,) int32 — valid windows per row (precomputed)
+    *,
+    wf: int,
+    l128: int,
+    fold: int,  # rows per batch block (R % fold == 0)
+    g: int,
+    p: int,
+    c_alpha: int,
+    b_planes: int,
+    s_ph: int = S_FUSED,
+    interpret: bool = False,
+    p_out: int = 0,
+):
+    """Batched fused correlation: per-BLOCK counts ``(R//fold,
+    max(P, p_out)) int32`` — the ``scan_corr_batch`` contract (window
+    ownership pre-resolved as ``limits[r]``; padding rows carry limit
+    0), fused-kernel speed (DESIGN §8)."""
+    assert km.shape[1] == s_ph * p, (km.shape, p, s_ph)
+    r_rows = rows.shape[0]
+    assert r_rows % fold == 0, (r_rows, fold)
+    rows2 = rows.reshape(-1, 128)
+    lim2 = jnp.repeat(limits.astype(jnp.int32), l128).reshape(-1, 1)
+    r2 = rows2.shape[0]
+    block = g * l128
+    pad = (-r2) % block
+    if pad:
+        rows2 = jnp.pad(rows2, ((0, pad), (0, 0)))
+        lim2 = jnp.pad(lim2, ((0, pad), (0, 0)))
+        r2 += pad
+    grid = r2 // block
+    alph2 = alph.astype(jnp.int32).reshape(1, -1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # alphabet
+            pl.BlockSpec((block, 128), lambda i: (i, 0)),  # text view
+            pl.BlockSpec((b_planes * 128, s_ph * p), lambda i: (0, 0)),
+            pl.BlockSpec((1, s_ph * p), lambda i: (0, 0)),
+            pl.BlockSpec((s_ph * p, p), lambda i: (0, 0)),
+            pl.BlockSpec((block, 1), lambda i: (i, 0)),  # limits
+        ],
+        out_specs=pl.BlockSpec(
+            (block, p), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+    )
+    per_rho = pl.pallas_call(
+        functools.partial(
+            _fused_batch_kernel,
+            l128=l128, g=g, c_alpha=c_alpha, b_planes=b_planes,
+            p=p, s_ph=s_ph,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((r2, p), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=grid * (128 // s_ph) * b_planes * block * 128
+            * s_ph * p * 2,
+            bytes_accessed=r2 * 128,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(alph2, rows2, km, thr, owner, lim2)
+
+    per_row = jnp.sum(
+        per_rho[: r_rows * l128].reshape(r_rows, l128, p), axis=1
+    )
+    counts = jnp.sum(
+        per_row.reshape(r_rows // fold, fold, p), axis=1
+    ).astype(jnp.int32)
+    if p_out > p:
+        counts = jnp.pad(counts, ((0, 0), (0, p_out - p)))
+    return counts
