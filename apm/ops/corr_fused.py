@@ -79,10 +79,6 @@ def pick_s(m_max: int) -> int:
     m + S - 1 <= 128 among {64, 32}."""
     return 64 if m_max <= 65 else 32
 
-# VMEM budget for the f32 corr tile (G*L128, 64P); G shrinks as P grows.
-_ACC_BYTES = 3 << 20
-
-
 def fused_eligible(m_max: int, wf: int, halo: int) -> bool:
     """COUNT-kernel gate: one-K-tile layout needs m <= 97 (S = 32
     phases), lane-tiled staging rows, and a >= 128-byte halo (the last
