@@ -175,16 +175,27 @@ def _verify_phase2(
     use = jnp.logical_and(hot, full)
     n_hot = jnp.sum(use.astype(jnp.int32))
 
-    idx = jnp.nonzero(use, size=max_hot, fill_value=r_rows)[0]
-    stage = jnp.take(
-        corpus_rows, idx, axis=0, mode="fill", fill_value=0
-    )  # (max_hot, wf + halo)
-    vbound = jnp.minimum(n_hot, max_hot) * wf
-    vcnt = scan_folded_pallas_unrolled(
-        stage, pat, vbound, jnp.int32(0),
-        k=k, m_max=m_max, wf=wf, halo=halo, plens=plens,
-        dp_dtype=dp_dtype, alphabet=alphabet, dp_impl=dp_impl,
-        interpret=interpret,
+    def _verify():
+        # The banded verify sweeps all max_hot staged rows regardless of
+        # how many are real (static shapes; vbound only masks counting),
+        # so a candidate-free chunk would pay the whole bucket — ~10-16
+        # ms per 512 MB measured (DESIGN §9(c)). Skip it under lax.cond.
+        idx = jnp.nonzero(use, size=max_hot, fill_value=r_rows)[0]
+        stage = jnp.take(
+            corpus_rows, idx, axis=0, mode="fill", fill_value=0
+        )  # (max_hot, wf + halo)
+        vbound = jnp.minimum(n_hot, max_hot) * wf
+        return scan_folded_pallas_unrolled(
+            stage, pat, vbound, jnp.int32(0),
+            k=k, m_max=m_max, wf=wf, halo=halo, plens=plens,
+            dp_dtype=dp_dtype, alphabet=alphabet, dp_impl=dp_impl,
+            interpret=interpret,
+        ).astype(jnp.int32)
+
+    vcnt = jax.lax.cond(
+        n_hot > 0,
+        _verify,
+        lambda: jnp.zeros((pat.shape[0],), jnp.int32),
     )
 
     clip = jnp.logical_and(hot, jnp.logical_not(full))

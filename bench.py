@@ -2,14 +2,16 @@
 """Headline benchmark on one TPU chip.
 
 Primary metric (r5): steady-state corpus throughput at k = 0 on a
-256 MB corpus with the reference's own "Big" pattern set (1x 32-char
+512 MB corpus (two ``ApmConfig.chunk_bytes`` chunks of one compiled
+program) with the reference's own "Big" pattern set (1x 32-char
 non-existent + 5x 50-char line_20783) and planted exact occurrences.
-256 MB is one full chunk (``ApmConfig.chunk_bytes``): the testbed's
-fixed ~15-30 ms per-call link cost is < 3% of the scan, so the number
-measures the chip. Round 4's 64 MB primary measured the tunnel round
-trip instead (1.44 GB/s reported vs 7.7-8.0 GB/s at >= 256 MB in the
-SAME capture — VERDICT r4 weak #1); it is demoted to the explicit
-``latency_floor_64mb_6pat_k0`` extra below.
+At 512 MB the testbed's fixed ~15-30 ms per-call link cost is < 3% of
+the scan, so the number measures the chip. Round 4's 64 MB primary
+measured the tunnel round trip instead (1.44 GB/s reported vs
+7.7-8.0 GB/s at >= 256 MB in the SAME capture — VERDICT r4 weak #1);
+it is demoted to the explicit ``latency_floor_64mb_6pat_k0`` extra
+below, and the single-chunk 256 MB point rides as the first extra
+(same compiled program, zero extra compiles).
 
 Link calibration (VERDICT r4 weak #5): session-to-session tunnel
 bandwidth swings ~2x, so every capture carries
@@ -52,7 +54,7 @@ MFU/roofline accounting (VERDICT r2 "do this" #2): each metric carries
 each engine's ops/byte model, the reference's experiments.xlsx
 kernel-accounting discipline made explicit.
 
-Extra metrics (deadline-permitting, highest value first): 512 MB k = 0
+Extra metrics (deadline-permitting, highest value first): 256 MB k = 0
 (the SAME compiled program as the primary — zero extra compiles), k = 1
 / k = 2 steady state with planted matches (the fused conv-filtration
 path end to end) at 256 and 512 MB, the reference's literal 1.6 MB
@@ -78,7 +80,7 @@ DEADLINE_S = float(os.environ.get("APM_BENCH_DEADLINE_S", "900"))
 # routinely take minutes; an extra started with less than this would
 # likely straddle the driver's own timeout).
 EXTRA_MARGIN_S = float(os.environ.get("APM_BENCH_EXTRA_MARGIN_S", "120"))
-PRIMARY = "steady_state_256mb_6pat_k0"
+PRIMARY = "steady_state_512mb_6pat_k0"
 # Corpus sizes in MB — overridable ONLY for fast smoke runs of the bench
 # flow itself (tests / `timeout 300 python bench.py` rehearsals); the
 # recorded metrics always use the defaults.
@@ -212,19 +214,20 @@ def main() -> int:
 
     _link_calibration(extras)
 
-    # PRIMARY: 256 MB steady state, k=0, the reference pattern set — with
+    # PRIMARY: 512 MB steady state, k=0, the reference pattern set — with
     # planted exact occurrences so the conformance gate below has real
-    # matches to miscount if an engine were broken. One full chunk: one
-    # fresh compile, link cost < 3%.
+    # matches to miscount if an engine were broken. Two chunks of one
+    # compiled program: one fresh compile, link cost < 3%.
     rng = np.random.default_rng(0)
     alpha = np.frombuffer(b"ACGT\n", dtype=np.uint8)
-    syn = alpha[rng.integers(0, 5, size=PRIM_MB << 20)]
+    big_mb = 2 * PRIM_MB
+    syn = alpha[rng.integers(0, 5, size=big_mb << 20)]
     p1 = np.frombuffer(pats[1], np.uint8)
     # one planted exact copy per MB
-    for pos in range(4096, (PRIM_MB - 1) << 20, 1 << 20):
+    for pos in range(4096, (big_mb - 1) << 20, 1 << 20):
         syn[pos:pos + len(p1)] = p1
     syn.setflags(write=False)
-    _log(f"compiling primary ({PRIM_MB} MB, k=0)...")
+    _log(f"compiling primary ({big_mb} MB, k=0)...")
     sc0 = apm.Scanner(pats, k=0)
     counts0 = sc0.count(syn)  # compile + stage
     _log("primary compiled; conformance gate (host substring count)...")
@@ -238,7 +241,7 @@ def main() -> int:
         _emit({
             "metric": PRIMARY, "value": 0.0, "unit": "MB/s",
             "vs_baseline": 0.0,
-            "error": f"{PRIM_MB}MB gate: {counts0.tolist()} != {expected0}",
+            "error": f"{big_mb}MB gate: {counts0.tolist()} != {expected0}",
         })
         return 1
     _log(f"gate ok (counts={counts0.tolist()}); timing primary...")
@@ -271,22 +274,22 @@ def main() -> int:
         _log(f"start {name} ({_left():.0f}s left)")
         return True
 
-    # 512 MB k=0: two chunks of the SAME compiled program as the primary
+    # 256 MB k=0: one chunk of the SAME compiled program as the primary
     # — zero extra compiles, so it runs first among the extras.
-    if budget("steady_state_512mb_k0"):
+    if budget("steady_state_256mb_6pat_k0"):
         try:
-            syn512 = alpha[rng.integers(0, 5, size=(2 * PRIM_MB) << 20)]
-            syn512.setflags(write=False)
-            sc512 = apm.Scanner(pats, k=0)
-            sc512.count(syn512)
+            syn256 = syn[: PRIM_MB << 20].copy()
+            syn256.setflags(write=False)
+            sc256 = apm.Scanner(pats, k=0)
+            sc256.count(syn256)
             _metric(
-                extras, "steady_state_512mb_k0", len(syn512),
-                _time_stats(lambda: sc512.count(syn512), 5), sc512,
+                extras, "steady_state_256mb_6pat_k0", len(syn256),
+                _time_stats(lambda: sc256.count(syn256), 5), sc256,
             )
-            del syn512, sc512
+            del syn256, sc256
         except Exception as e:
-            _log(f"steady_state_512mb_k0 FAILED: {e!r}")
-            extras["steady_state_512mb_k0_error"] = repr(e)[:200]
+            _log(f"steady_state_256mb_6pat_k0 FAILED: {e!r}")
+            extras["steady_state_256mb_6pat_k0_error"] = repr(e)[:200]
 
     # k=1 / k=2 with REAL matches present: planted fuzzy occurrences
     # exercise conv phase 1 + on-device verification end to end
@@ -298,7 +301,7 @@ def main() -> int:
         try:
             from apm.utils.corpus import plant
 
-            syn_k = syn.copy()
+            syn_k = syn[: PRIM_MB << 20].copy()
             plant(syn_k, p1,
                   list(range(5000, (PRIM_MB - 6) << 20, 1 << 20)),
                   k=kk, seed=7)
@@ -369,12 +372,15 @@ def main() -> int:
             pats64 = [
                 bytes(alpha[rng.integers(0, 4, size=50)]) for _ in range(64)
             ]
+            syn256b = syn[: PRIM_MB << 20].copy()
+            syn256b.setflags(write=False)
             sc_p64 = apm.Scanner(pats64, 0)
-            sc_p64.count(syn)
+            sc_p64.count(syn256b)
             _metric(
-                extras, "steady_state_256mb_64pat_k0", len(syn),
-                _time_stats(lambda: sc_p64.count(syn), 5), sc_p64,
+                extras, "steady_state_256mb_64pat_k0", len(syn256b),
+                _time_stats(lambda: sc_p64.count(syn256b), 5), sc_p64,
             )
+            del syn256b
             del sc_p64
         except Exception as e:
             _log(f"steady_state_256mb_64pat_k0 FAILED: {e!r}")
@@ -393,7 +399,7 @@ def main() -> int:
         try:
             from apm.utils.corpus import plant
 
-            syn_k = syn.copy()
+            syn_k = syn[: PRIM_MB << 20].copy()
             for i, pk in enumerate(pat_list):
                 plant(
                     syn_k,
