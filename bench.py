@@ -151,14 +151,19 @@ def _host_exact_count(corpus: bytes, pat: bytes) -> int:
 
 
 def _link_calibration(extras) -> None:
-    """Raw h2d+d2h round trip of a 128 MB buffer — NO compiled code in
+    """Raw h2d+d2h round trip of a 32 MB buffer — NO compiled code in
     the timed loop (``device_put`` up, ``np.asarray`` down), so this
     measures the tunnel/link, not the chip. Cross-session numbers can be
-    normalized by this field (VERDICT r4 weak #5)."""
+    normalized by this field (VERDICT r4 weak #5).
+
+    Runs AFTER the primary line is emitted and self-limits: the tunnel
+    has been observed to stall for minutes, and a calibration that
+    starves the primary would repeat round 3's empty capture. One rep
+    is enough if the first took > 20 s."""
     import jax
 
     try:
-        buf = np.zeros((128 << 20,), dtype=np.uint8)
+        buf = np.zeros((32 << 20,), dtype=np.uint8)
         # untimed warm trip first: absorbs any one-time transfer setup
         np.asarray(jax.device_put(buf[: 1 << 20]))
         ts = []
@@ -166,9 +171,11 @@ def _link_calibration(extras) -> None:
             t0 = time.perf_counter()
             np.asarray(jax.device_put(buf))
             ts.append(time.perf_counter() - t0)
+            if ts[-1] > 20 or _left() < EXTRA_MARGIN_S:
+                break  # link is crawling; one sample beats starving
         ts.sort()
         mb = 2 * len(buf) / 1e6  # bytes moved: up + down
-        extras["link_roundtrip_mb_per_s"] = round(mb / ts[1], 1)
+        extras["link_roundtrip_mb_per_s"] = round(mb / ts[len(ts) // 2], 1)
         extras["link_roundtrip_mb_per_s_max"] = round(mb / ts[0], 1)
         _log(f"link roundtrip: {extras['link_roundtrip_mb_per_s']} MB/s "
              f"(max {extras['link_roundtrip_mb_per_s_max']})")
@@ -211,8 +218,6 @@ def main() -> int:
     )
     extras = {"session": session}
     skipped = []
-
-    _link_calibration(extras)
 
     # PRIMARY: 512 MB steady state, k=0, the reference pattern set — with
     # planted exact occurrences so the conformance gate below has real
@@ -264,6 +269,11 @@ def main() -> int:
 
     # The primary line is now safe on stdout whatever happens next.
     _emit(payload())
+
+    # Link calibration AFTER the primary emit: a stalled tunnel (observed
+    # minutes-long) must never starve the number the driver records. The
+    # field lands in the final re-emitted payload either way.
+    _link_calibration(extras)
 
     # -- extras, each behind the internal deadline ------------------------
     def budget(name: str) -> bool:
