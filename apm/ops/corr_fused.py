@@ -401,7 +401,9 @@ def build_fused_piece_tables(
     from .filter_kernel import pieces_of_j, tier_of
 
     P, m_max = pat_raw.shape
-    assert m_max <= M_MAX_FUSED, m_max
+    # The PIECE coverage proof (module comment above) needs the whole
+    # pattern <= 65 — NOT the count kernel's 97 (fused_pieces_ok gate).
+    assert max(plens) <= M_MAX_PIECES, plens
     B = n_bitplanes(len(alphabet))
     pieces = []  # (pattern index, offset, length)
     for pi in range(P):
@@ -411,7 +413,7 @@ def build_fused_piece_tables(
         j, kp = tier_of(m, k)
         assert kp == 0, "fused phase 1 is exact-tier only"
         for off, length in pieces_of_j(m, j):
-            assert length <= M_MAX_FUSED
+            assert length <= M_MAX_PIECES
             pieces.append((pi, off, length))
     n = len(pieces)
     n_pad = n + (n % 2 if S_FUSED * n > _SINGLE_MAX else 0)
