@@ -137,11 +137,14 @@ def _metric(extras, name, n_bytes, stats, scanner=None):
 
 
 def _host_exact_count(corpus: bytes, pat: bytes) -> int:
-    """Overlapping substring occurrences — the exact k=0 window count.
+    """Overlapping substring occurrences — the UNTRUNCATED k=0 windows.
 
-    At k = 0 no EOF-truncated window can match (a truncated window's
-    distance to the pattern is at least the truncation length >= 1), so
-    the reference semantics reduce to plain overlapping substring count.
+    The reference's EOF quirk (``sequential.c:131-134``) truncates the
+    last ``m - 1`` windows to the remaining bytes and can still match
+    there (the window then only has to equal a PREFIX of the pattern —
+    the round-5 512 MB gate caught exactly one such match the plain
+    substring count missed), so callers must add the oracle's count
+    over the EOF tail separately.
     """
     n, i = 0, corpus.find(pat)
     while i != -1:
@@ -237,10 +240,18 @@ def main() -> int:
     counts0 = sc0.count(syn)  # compile + stage
     _log("primary compiled; conformance gate (host substring count)...")
 
-    # Zero-extra-compile exact conformance gate: at k = 0 the reference
-    # semantics equal overlapping substring count (see _host_exact_count).
+    # Zero-extra-compile exact conformance gate: overlapping substring
+    # count for the untruncated windows + the oracle over the <= m-1
+    # EOF-truncated ones (which CAN match at k = 0 under the reference's
+    # prefix-truncation quirk — see _host_exact_count).
     syn_b = syn.tobytes()
-    expected0 = [_host_exact_count(syn_b, p) for p in pats]
+    m_max = max(len(p) for p in pats)
+    tail_expected = apm.utils.oracle.count_matches(
+        syn[len(syn) - (m_max - 1) :], pats, 0
+    )
+    expected0 = [
+        _host_exact_count(syn_b, p) + t for p, t in zip(pats, tail_expected)
+    ]
     del syn_b
     if counts0.tolist() != expected0:
         _emit({
