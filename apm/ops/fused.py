@@ -175,28 +175,40 @@ def _verify_phase2(
     use = jnp.logical_and(hot, full)
     n_hot = jnp.sum(use.astype(jnp.int32))
 
-    def _verify():
-        # The banded verify sweeps all max_hot staged rows regardless of
-        # how many are real (static shapes; vbound only masks counting),
-        # so a candidate-free chunk would pay the whole bucket — ~10-16
-        # ms per 512 MB measured (DESIGN §9(c)). Skip it under lax.cond.
-        idx = jnp.nonzero(use, size=max_hot, fill_value=r_rows)[0]
-        stage = jnp.take(
-            corpus_rows, idx, axis=0, mode="fill", fill_value=0
-        )  # (max_hot, wf + halo)
-        vbound = jnp.minimum(n_hot, max_hot) * wf
-        return scan_folded_pallas_unrolled(
-            stage, pat, vbound, jnp.int32(0),
-            k=k, m_max=m_max, wf=wf, halo=halo, plens=plens,
-            dp_dtype=dp_dtype, alphabet=alphabet, dp_impl=dp_impl,
-            interpret=interpret,
-        ).astype(jnp.int32)
+    def _verify_with(bucket):
+        # The banded verify sweeps all ``bucket`` staged rows regardless
+        # of how many are real (static shapes; vbound only masks
+        # counting) — so pick the bucket by the actual hot count under
+        # lax.cond: zero-candidate chunks skip it entirely (~10-16 ms
+        # per 512 MB measured, DESIGN §9(c)), lightly-hot chunks (the
+        # planted-match steady state) pay a quarter bucket, and only
+        # genuinely dense chunks sweep the full max_hot.
+        def f():
+            idx = jnp.nonzero(use, size=bucket, fill_value=r_rows)[0]
+            stage = jnp.take(
+                corpus_rows, idx, axis=0, mode="fill", fill_value=0
+            )  # (bucket, wf + halo)
+            vbound = jnp.minimum(n_hot, bucket) * wf
+            return scan_folded_pallas_unrolled(
+                stage, pat, vbound, jnp.int32(0),
+                k=k, m_max=m_max, wf=wf, halo=halo, plens=plens,
+                dp_dtype=dp_dtype, alphabet=alphabet, dp_impl=dp_impl,
+                interpret=interpret,
+            ).astype(jnp.int32)
+        return f
 
-    vcnt = jax.lax.cond(
-        n_hot > 0,
-        _verify,
-        lambda: jnp.zeros((pat.shape[0],), jnp.int32),
-    )
+    zeros = lambda: jnp.zeros((pat.shape[0],), jnp.int32)
+    small = max(FOLD, (max_hot // 4 // FOLD) * FOLD)
+    if small < max_hot:
+        vcnt = jax.lax.cond(
+            n_hot == 0,
+            zeros,
+            lambda: jax.lax.cond(
+                n_hot <= small, _verify_with(small), _verify_with(max_hot)
+            ),
+        )
+    else:
+        vcnt = jax.lax.cond(n_hot > 0, _verify_with(max_hot), zeros)
 
     clip = jnp.logical_and(hot, jnp.logical_not(full))
     clip_idx = jnp.nonzero(clip, size=MAX_CLIP, fill_value=-1)[0]
