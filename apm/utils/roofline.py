@@ -140,14 +140,16 @@ def corr_model(
 
 # Calibrated VPU-side cost of the fused Pallas correlation, in effective
 # lane-ops per corpus byte at small P. The written op count (~30/byte:
-# widen, two rolls, 2 encodes, epilogue) predicts a >100 GB/s VPU side;
-# the measured small-P kernel floor is ~8.5 GB/s (g-tune probe, 256 MB,
-# P = 6, session 2026-08-20) — i.e. ~400 effective ops/byte once
-# Mosaic's relayouts, iota/mask arithmetic and per-step scheduling are
-# counted. Calibrating keeps the roofline honest: below ~P = 20 the
-# fused kernel is bound by this in-kernel overhead, above it by the MXU
-# contraction (P = 64 measured at 59% of its 6.0 GB/s MXU roof).
-FUSED_OPS_PER_BYTE = 400.0
+# widen, rolls, encodes, epilogue) predicts a >100 GB/s VPU side; the
+# best measured small-P steady state is 13.8 GB/s (512 MB P = 6,
+# healthy-link session 2026-08-20T23:01Z, bench/headline_r5_tpu.jsonl)
+# — i.e. ~270 effective ops/byte once Mosaic's relayouts, iota/mask
+# arithmetic and per-step scheduling are counted. (An earlier 400-op
+# calibration came from a degraded session and put measured mfu_vpu at
+# 1.44 — calibrate against the best session, not the sickest.) Below
+# ~P = 20 the fused kernel is bound by this in-kernel overhead, above
+# it by the MXU contraction (P = 64 measured at 59-65% of its roof).
+FUSED_OPS_PER_BYTE = 270.0
 
 
 def fused_corr_model(p_slots: int, alphabet_size: int) -> OpsModel:
