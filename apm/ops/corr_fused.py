@@ -41,7 +41,7 @@ doubled again at wide P by int8 operands (``_INT8_MIN_SLOTS``; the
 ±1/0 planes are exact in int8, measured 2.2x at P = 64) — vs the
 ~9 GB/s encode-bound and 27-37%-of-MXU conv ceilings it replaces
 (VERDICT r4 asks #1 and #2). The VPU side is ~30 written ops/byte
-(2 encodes + epilogue; ~400 effective after Mosaic overheads — the
+(2 encodes + epilogue; ~270 effective after Mosaic overheads — the
 calibrated ``FUSED_OPS_PER_BYTE`` roofline term) — far below XLA's
 calibrated encode cost either way.
 
