@@ -45,8 +45,9 @@ doubled again at wide P by int8 operands (``_INT8_MIN_SLOTS``; the
 calibrated ``FUSED_OPS_PER_BYTE`` roofline term) — far below XLA's
 calibrated encode cost either way.
 
-Eligibility: ``m_max <= M_MAX_FUSED = 65`` (one K-tile per phase);
-longer patterns keep the XLA conv path. The reference has no analog —
+Eligibility: ``m_max <= M_MAX_FUSED = 97`` (S = 32 four-phase split
+covers m in (66, 97]; one K-tile per phase either way); longer
+patterns keep the XLA conv path. The reference has no analog —
 its k = 0 path runs the full O(m^2) DP per window (``src/utils.c:76-99``,
 ``src/database_over_ranks.cu:26-29``).
 """
@@ -79,6 +80,7 @@ def pick_s(m_max: int) -> int:
     m + S - 1 <= 128 among {64, 32}."""
     return 64 if m_max <= 65 else 32
 
+
 def fused_eligible(m_max: int, wf: int, halo: int) -> bool:
     """COUNT-kernel gate: one-K-tile layout needs m <= 97 (S = 32
     phases), lane-tiled staging rows, and a >= 128-byte halo (the last
@@ -99,10 +101,11 @@ def fused_pieces_ok(m_max: int, wf: int, halo: int) -> bool:
 
 
 def build_fused_tables(pat_raw: np.ndarray, plens, alphabet: np.ndarray):
-    """±1 phase-folded kernel ``(B, 128, 64*P)`` bf16 + ``(1, 64*P)``
-    f32 thresholds (``B * m_p``; unreachable sentinel for padding
-    rows). Column ``s*P + p`` scores window phase-offset ``s`` of
-    pattern ``p``."""
+    """±1 phase-folded kernel ``(B*128, s_ph*P)`` (bf16, or int8 at
+    >= _INT8_MIN_SLOTS) + ``(1, s_ph*P)`` thresholds (``B * m_p``;
+    unreachable sentinel for padding slots), ``s_ph = pick_s(m_max)``.
+    Column ``s*P + p`` scores window phase-offset ``s`` of pattern
+    ``p``."""
     P, m_max = pat_raw.shape
     assert m_max <= M_MAX_FUSED, m_max
     s_ph = pick_s(m_max)
