@@ -170,6 +170,8 @@ _INT8_MIN_SLOTS = 32
 def _fused_kernel(
     meta_ref,  # SMEM (1, 2) int32 — [window bound (global), global start]
     alph_ref,  # SMEM (1, C) int32 — sorted pattern alphabet
+    scol_ref,  # VMEM (1, s_ph*P) int32 — column -> phase-slot offsets
+    # (precomputed: the in-kernel iota + div-by-P cost a measured 16%)
     text_ref,  # VMEM (G*L128, 128) uint8 — this block's staged text view
     km_ref,  # VMEM (B*128, 64P) bf16 — phase-folded ±1 kernel (2D: plane
     # b occupies rows [b*128, (b+1)*128))
@@ -261,9 +263,7 @@ def _fused_kernel(
     for c0 in range(0, sp, nch):
         nc = min(nch, sp - c0)
         thrc = thr_ref[0:1, c0 : c0 + nc]
-        s_col = (
-            c0 + jax.lax.broadcasted_iota(jnp.int32, (m_rows, nc), 1)
-        ) // p
+        s_col = scol_ref[0:1, c0 : c0 + nc]
         cnt = None
         for phase, pls in phases:
             acc = jnp.dot(
@@ -335,6 +335,9 @@ def scan_corr_fused(
         [bound.astype(jnp.int32), start.astype(jnp.int32)]
     ).reshape(1, 2)
     alph2 = alph.astype(jnp.int32).reshape(1, -1)
+    # Column -> phase-slot offsets, baked as an executable constant (the
+    # in-kernel iota + div-by-P recomputation cost a measured 16%).
+    scol = (jnp.arange(s_ph * p, dtype=jnp.int32) // p).reshape(1, -1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
@@ -342,6 +345,7 @@ def scan_corr_fused(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # meta
             pl.BlockSpec(memory_space=pltpu.SMEM),  # alphabet
+            pl.BlockSpec((1, s_ph * p), lambda i: (0, 0)),  # scol
             pl.BlockSpec((block, 128), lambda i: (i, 0)),  # text view
             pl.BlockSpec((b_planes * 128, s_ph * p), lambda i: (0, 0)),
             pl.BlockSpec((1, s_ph * p), lambda i: (0, 0)),
@@ -369,7 +373,7 @@ def scan_corr_fused(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(meta, alph2, rows2, km, thr)
+    )(meta, alph2, scol, rows2, km, thr)
 
     counts = jnp.sum(out.reshape(s_ph, p), axis=0, dtype=jnp.int32)
     if p_out > p:
@@ -443,6 +447,7 @@ def build_fused_piece_tables(
 def _fused_pieces_kernel(
     meta_ref,  # SMEM (1, 2) int32 — [window bound (global), global start]
     alph_ref,  # SMEM (1, C) int32 — sorted pattern alphabet
+    scol_ref,  # VMEM (1, 64*Np) int32 — column -> phase-slot offsets
     text_ref,  # VMEM (G*L128, 128) uint8 — this block's staged text view
     km_ref,  # VMEM (B*128, 64*Np) bf16 — phase-folded piece kernel
     thr_ref,  # VMEM (1, 64*Np) f32 — per-column thresholds
@@ -523,10 +528,7 @@ def _fused_pieces_kernel(
                     km_ref[b * 128 : (b + 1) * 128, c0 : c0 + nc],
                     preferred_element_type=acc_t,
                 )
-            s_col = (
-                c0
-                + jax.lax.broadcasted_iota(jnp.int32, (m_rows, nc), 1)
-            ) // n_slots
+            s_col = scol_ref[0:1, c0 : c0 + nc]
             j = base1 + s_col + phase * 64
             hit = jnp.logical_and(
                 acc >= thr_ref[0:1, c0 : c0 + nc],
@@ -590,6 +592,9 @@ def scan_pieces_fused(
         [bound.astype(jnp.int32), start.astype(jnp.int32)]
     ).reshape(1, 2)
     alph2 = alph.astype(jnp.int32).reshape(1, -1)
+    scol = (
+        jnp.arange(S_FUSED * n_slots, dtype=jnp.int32) // n_slots
+    ).reshape(1, -1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
@@ -597,6 +602,7 @@ def scan_pieces_fused(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # meta
             pl.BlockSpec(memory_space=pltpu.SMEM),  # alphabet
+            pl.BlockSpec((1, S_FUSED * n_slots), lambda i: (0, 0)),
             pl.BlockSpec((block, 128), lambda i: (i, 0)),  # text view
             pl.BlockSpec(
                 (b_planes * 128, S_FUSED * n_slots), lambda i: (0, 0)
@@ -626,7 +632,7 @@ def scan_pieces_fused(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(meta, alph2, rows2, km, thr, owner64)
+    )(meta, alph2, scol, rows2, km, thr, owner64)
 
     r_real = rows.shape[0] if rows.shape[1] != 128 else rows.shape[0] // l128
     rowpat = jnp.sum(
@@ -657,6 +663,7 @@ def batch_owner(p_pad: int, s_ph: int) -> np.ndarray:
 
 def _fused_batch_kernel(
     alph_ref,  # SMEM (1, C) int32 — sorted pattern alphabet
+    scol_ref,  # VMEM (1, s_ph*P) int32 — column -> phase-slot offsets
     text_ref,  # VMEM (G*L128, 128) uint8 — this block's staged text view
     km_ref,  # VMEM (B*128, s_ph*P) bf16/int8 — phase-folded ±1 kernel
     thr_ref,  # VMEM (1, s_ph*P) f32/int32 — per-column thresholds
@@ -721,9 +728,7 @@ def _fused_batch_kernel(
     for c0 in range(0, sp, nch):
         nc = min(nch, sp - c0)
         thrc = thr_ref[0:1, c0 : c0 + nc]
-        s_col = (
-            c0 + jax.lax.broadcasted_iota(jnp.int32, (m_rows, nc), 1)
-        ) // p
+        s_col = scol_ref[0:1, c0 : c0 + nc]
         for phase, pls in phases:
             acc = jnp.dot(
                 pls[0],
@@ -791,12 +796,14 @@ def scan_corr_batch_fused(
         r2 += pad
     grid = r2 // block
     alph2 = alph.astype(jnp.int32).reshape(1, -1)
+    scol = (jnp.arange(s_ph * p, dtype=jnp.int32) // p).reshape(1, -1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # alphabet
+            pl.BlockSpec((1, s_ph * p), lambda i: (0, 0)),  # scol
             pl.BlockSpec((block, 128), lambda i: (i, 0)),  # text view
             pl.BlockSpec((b_planes * 128, s_ph * p), lambda i: (0, 0)),
             pl.BlockSpec((1, s_ph * p), lambda i: (0, 0)),
@@ -825,7 +832,7 @@ def scan_corr_batch_fused(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(alph2, rows2, km, thr, owner, lim2)
+    )(alph2, scol, rows2, km, thr, owner, lim2)
 
     per_row = jnp.sum(
         per_rho[: r_rows * l128].reshape(r_rows, l128, p), axis=1
