@@ -277,8 +277,10 @@ def _fused_kernel(
                     km_ref[b * 128 : (b + 1) * 128, c0 : c0 + nc],
                     preferred_element_type=acc_t,
                 )
-            j = base1 + s_col + phase * s_ph
-            match = jnp.logical_and(acc >= thrc, j < limit1)
+            # j = base1 + s_col + phase*s_ph < limit1, folded so the
+            # per-element add disappears (rhs is a per-row scalar).
+            rhs = limit1 - base1 - phase * s_ph
+            match = jnp.logical_and(acc >= thrc, s_col < rhs)
             c = jnp.sum(match.astype(jnp.int32), axis=0, keepdims=True)
             cnt = c if cnt is None else cnt + c
         cnts.append(cnt)
@@ -529,10 +531,10 @@ def _fused_pieces_kernel(
                     preferred_element_type=acc_t,
                 )
             s_col = scol_ref[0:1, c0 : c0 + nc]
-            j = base1 + s_col + phase * 64
+            rhs = jnp.where(live, jmax - base1 - phase * 64, jnp.int32(0))
             hit = jnp.logical_and(
                 acc >= thr_ref[0:1, c0 : c0 + nc],
-                jnp.logical_and(j < jmax, live),
+                s_col < rhs,
             )
             hitf = jnp.where(hit, jnp.float32(1.0), jnp.float32(0.0))
             total = total + jnp.dot(
@@ -741,8 +743,8 @@ def _fused_batch_kernel(
                     km_ref[b * 128 : (b + 1) * 128, c0 : c0 + nc],
                     preferred_element_type=acc_t,
                 )
-            j = base1 + s_col + phase * s_ph
-            match = jnp.logical_and(acc >= thrc, j < limit1)
+            rhs = limit1 - base1 - phase * s_ph  # per-row scalar fold
+            match = jnp.logical_and(acc >= thrc, s_col < rhs)
             hitf = jnp.where(match, jnp.float32(1.0), jnp.float32(0.0))
             total = total + jnp.dot(
                 hitf,
