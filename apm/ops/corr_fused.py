@@ -140,14 +140,14 @@ def pick_g(n_rows: int, l128: int, P: int) -> int:
     """Staging rows per grid step. The text block's sublane dim
     ``g*l128`` must be a multiple of 8 and ``l128`` is odd, so ``g`` is
     a multiple of 8; the f32 corr tile is bounded by column chunking
-    (``_N_CHUNK``), not by ``g``. Measured on chip (256 MB, m = 50):
-    g = 16 beats 8/24/32 at both P = 6 (8.52 vs 8.06/7.10/6.19 GB/s)
-    and P = 64 (3.56 vs 3.41/3.35) — enough rows to amortize the
-    per-step rolls/encode, small enough to keep the working set in
-    VMEM's sweet spot."""
+    (``_N_CHUNK``), not by ``g``. Re-tuned on chip after the round-5
+    epilogue changes (256 MB, m = 50): g = 32 edges 16/24 at both P = 6
+    (8.65 vs 8.31/8.06 GB/s) and P = 64 int8 (4.86 vs 4.80/4.77) —
+    enough rows to amortize the per-step rolls/encode while the chunked
+    epilogue keeps the working set inside VMEM."""
     del l128, P
     del n_rows  # callers pad partial blocks
-    return 16
+    return 32
 
 
 # Column-chunk width for the matmul/epilogue when 64P exceeds it: bounds
