@@ -309,7 +309,15 @@ class Scanner:
             dp_impl=self.config.dp_impl,
             interpret=self.config.interpret,
         )
-        if self._use_fused_corr(wf, halo, pieces=True):
+        # Fused phase 1 only when PINNED: for whole patterns the
+        # phase-split K-tile padding tax is 128/m <= 2.6x and the fused
+        # kernel wins, but pieces are short (l ~ m/(k+1)) — at k=4
+        # (l=10) the tax is 12.8x and the fused piece scan measured
+        # 0.83x the XLA piece conv (k=1/2, l=16-25: a wash). The conv
+        # keeps the default; corr_impl="fused" forces the Pallas path.
+        if self.config.corr_impl == "fused" and self._use_fused_corr(
+            wf, halo, pieces=True
+        ):
             from ..ops.corr_engine import n_bitplanes
             from ..ops.fused import filter_verify_chunk_fused
 

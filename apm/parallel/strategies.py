@@ -350,7 +350,11 @@ def sharded_filter_chunks(
     from ..models.pipeline import FilterChunk
 
     k, m_max = scanner.k, scanner.m_max
-    if plan.fp1_conv and scanner._use_fused_corr(wf, halo, pieces=True):
+    if (
+        plan.fp1_conv
+        and scanner.config.corr_impl == "fused"
+        and scanner._use_fused_corr(wf, halo, pieces=True)
+    ):
         from ..ops.corr_engine import n_bitplanes
         from ..ops.corr_fused import S_FUSED, pick_g
 
