@@ -299,3 +299,36 @@ def test_fused_s32_midlength_patterns():
     assert outs["conv"] == expected
     assert outs["fused"] == expected
     assert sum(expected) >= 2  # plants overlap; non-trivial is enough
+
+
+def test_fp1_default_routing_is_conv(monkeypatch):
+    """auto must route phase 1 to the XLA piece conv (the fused piece
+    scan measured 0.83x at k=4 — DESIGN §8); corr_impl='fused' pins the
+    Pallas path. Guard the routing with a tripwire monkeypatch."""
+    import apm.ops.fused as fused_mod
+
+    corpus = _corpus(120_000, 20)
+    pats = [bytes(corpus[500:550]), bytes(corpus[60_000:60_050])]
+
+    calls = {"fused": 0}
+    real = fused_mod.filter_verify_chunk_fused
+
+    def spy(*a, **kw):
+        calls["fused"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(fused_mod, "filter_verify_chunk_fused", spy)
+    # scanner imports the symbol lazily from the module, so the spy is
+    # what _fp1_call resolves.
+    sc = apm.Scanner(
+        pats, 4, ApmConfig(backend="pallas", interpret=True)
+    )
+    sc.count(corpus)
+    assert calls["fused"] == 0  # auto -> conv phase 1
+
+    sc2 = apm.Scanner(
+        pats, 4,
+        ApmConfig(backend="pallas", interpret=True, corr_impl="fused"),
+    )
+    sc2.count(corpus)
+    assert calls["fused"] > 0  # pinned -> Pallas piece scan
